@@ -1,0 +1,54 @@
+"""Command-line entry point, flag-compatible with the reference
+(main.py:6-36): -c/--config, -s/--src, -g/--gpu (accepted; device choice
+is JAX's), -t/--train, -e/--eval, -r/--resume, --wandb, -i/--inference,
+-ar/--autoregressive, -gif/--generate_gifs, -ex/--extrapolate."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def get_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, help="YAML config file")
+    parser.add_argument("-s", "--src", type=str, default=None)
+    parser.add_argument("-g", "--gpu", action="store_true", default=False,
+                        help="accepted for reference-CLI parity; JAX "
+                        "selects TPU/CPU automatically")
+    parser.add_argument("-t", "--train", action="store_true", default=False)
+    parser.add_argument("-e", "--eval", action="store_true", default=False)
+    parser.add_argument("-r", "--resume", action="store_true", default=False)
+    parser.add_argument("--wandb", action="store_true",
+                        help="Log run to Weights and Biases.")
+    parser.add_argument("-i", "--inference", action="store_true",
+                        default=False)
+    parser.add_argument("-ar", "--autoregressive", action="store_true",
+                        default=False)
+    parser.add_argument("-gif", "--generate_gifs", action="store_true",
+                        default=False)
+    parser.add_argument("-ex", "--extrapolate", action="store_true",
+                        default=False)
+    return parser
+
+
+def main(args=None) -> None:
+    if args is None:
+        args = get_arg_parser().parse_args()
+
+    from viewfusion_tpu.parallel.mesh import initialize_distributed
+    from viewfusion_tpu.training.trainer import Experiment
+    from viewfusion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    initialize_distributed()
+    experiment = Experiment(args)
+    if args.train:
+        experiment.train()
+    if args.eval:
+        experiment.eval()
+    if args.inference:
+        experiment.inference()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""NMR ShapeNet input pipeline: decode, per-sample processing, infinite
+sharded stream, shuffle buffer, batching, background prefetch.
+
+Capability parity with the reference pipeline (data/nmr_dataset.py):
+  * ``process_sample``: random view permutation -> target = first shuffled
+    view, cond = remaining 23; absolute angle 2*pi/24*idx0; 10% train-time
+    re-shuffle so the target may leak into cond (regularizer,
+    data/nmr_dataset.py:27-29); relative-conditioning variant with
+    reference view channel-concatenated and relative angle
+    (data/nmr_dataset.py:31-40).  Images stay in [0, 1] — the reference
+    never rescales to [-1, 1] (data/nmr_dataset.py:15, README quirk noted
+    in SURVEY.md §7).
+  * infinite resampled shard stream with shard shuffle + 1000-sample
+    shuffle buffer (data/nmr_dataset.py:96-98), per-host shard split
+    ``urls[host::num_hosts]`` (nodesplitter, data/nmr_dataset.py:55-61).
+
+TPU-native differences: NHWC layout; the stream yields numpy batches
+sized per host (global batch // process_count), matching JAX's
+per-host data feeding model instead of per-GPU dataloader workers; RNG
+is an explicit ``np.random.Generator`` seeded per (host, epoch) instead
+of torch worker reseeding (utils/dist.py:94-98).
+"""
+
+from __future__ import annotations
+
+import io
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from viewfusion_tpu.config import SplitConfig
+from viewfusion_tpu.data.tario import expand_shard_urls, iter_tar_samples
+
+__all__ = ["process_sample", "decode_views", "NMRStream", "create_nmr_stream",
+           "Batcher", "prefetch"]
+
+TOTAL_VIEWS = 24  # views per object in NMR ShapeNet (data/nmr_dataset.py:11)
+
+
+def decode_views(sample: Dict[str, bytes],
+                 total_views: int = TOTAL_VIEWS) -> np.ndarray:
+    """Decode the ``0000.png .. 0023.png`` views of one sample to
+    (V, H, W, 3) float32 in [0, 1] (webdataset ``.decode("rgb")``
+    equivalent, data/nmr_dataset.py:97)."""
+    from PIL import Image
+
+    views = []
+    for i in range(total_views):
+        img = Image.open(io.BytesIO(sample[f"{i:04d}.png"])).convert("RGB")
+        views.append(np.asarray(img, dtype=np.float32) / 255.0)
+    return np.stack(views, 0)
+
+
+def process_sample(
+    images: np.ndarray,
+    key: str,
+    mode: str,
+    rng: np.random.Generator,
+    relative: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Reference ``process_sample`` semantics (data/nmr_dataset.py:10-52),
+    NHWC.  ``images`` is (24, H, W, 3) float32 in [0, 1]."""
+    v = images.shape[0]
+    images_idx = np.arange(v)
+    rng.shuffle(images_idx)
+    cond_images = images[images_idx]
+    target = cond_images[0]
+    angle = np.float32(2 * np.pi / v * images_idx[0])
+
+    # 10% of train samples re-shuffle so the target may leak into cond
+    # (data/nmr_dataset.py:27-29).
+    if mode == "train" and rng.random() < 0.1:
+        rng.shuffle(images_idx)
+        cond_images = cond_images[images_idx]
+
+    relative_angle = np.float32(
+        2 * np.pi / v * (images_idx[1] - images_idx[0])
+    )
+
+    result = {
+        "target": target,
+        "cond": cond_images[1:],
+        "all_views": images,
+        "angle": angle,
+        "relative_angle": relative_angle,
+        "scene_hash": key,
+    }
+    if relative:
+        ref = np.broadcast_to(cond_images[1][None], cond_images.shape)
+        result["relative_cond"] = np.concatenate(
+            (ref, cond_images), axis=-1
+        )[1:]
+    return result
+
+
+class NMRStream:
+    """Infinite (or single-pass) stream of processed NMR samples."""
+
+    def __init__(
+        self,
+        urls: List[str],
+        mode: str,
+        shuffle_buffer: int = 1000,
+        seed: int = 0,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        resample: bool = True,
+        relative: bool = False,
+        total_views: int = TOTAL_VIEWS,
+    ):
+        if num_hosts > 1:
+            if len(urls) % num_hosts != 0:
+                # reference asserts shard_count % world_size == 0
+                # (data/nmr_dataset.py:65-70)
+                raise ValueError(
+                    "Shard count must be divisible by the number of hosts"
+                )
+            urls = urls[host_id::num_hosts]
+        self.urls = urls
+        self.mode = mode
+        self.shuffle_buffer = shuffle_buffer if mode == "train" else 0
+        self.resample = resample
+        self.relative = relative
+        self.total_views = total_views
+        self.rng = np.random.default_rng(
+            np.random.SeedSequence([seed, host_id])
+        )
+
+    def _iter_raw(self) -> Iterator[Dict[str, bytes]]:
+        while True:
+            order = list(self.urls)
+            self.rng.shuffle(order)  # shardshuffle=True
+            for url in order:
+                yield from iter_tar_samples(url)
+            if not self.resample:
+                return
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        buf: List[Dict[str, np.ndarray]] = []
+
+        def process(raw):
+            images = decode_views(raw, self.total_views)
+            return process_sample(
+                images, raw["__key__"], self.mode, self.rng, self.relative
+            )
+
+        for raw in self._iter_raw():
+            if self.shuffle_buffer <= 1:
+                yield process(raw)
+                continue
+            buf.append(raw)
+            if len(buf) >= self.shuffle_buffer:
+                idx = self.rng.integers(len(buf))
+                buf[idx], buf[-1] = buf[-1], buf[idx]
+                yield process(buf.pop())
+        while buf:
+            idx = self.rng.integers(len(buf))
+            buf[idx], buf[-1] = buf[-1], buf[idx]
+            yield process(buf.pop())
+
+
+class Batcher:
+    """Collate processed samples into NHWC numpy batches.
+
+    ``n_cond_views`` statically trims the 23-view cond tensor to the
+    views actually used (max_views for train/eval, 24 for inference
+    modes) — the static-shape equivalent of the reference's per-sample
+    ragged slicing (model/view_fusion.py:249-251), and it cuts
+    host->device transfer ~4x at max_views=6.
+    """
+
+    def __init__(self, stream, batch_size: int,
+                 n_cond_views: Optional[int] = None,
+                 keys: Optional[List[str]] = None):
+        self.stream = stream
+        self.batch_size = batch_size
+        self.n_cond_views = n_cond_views
+        self.keys = keys
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batch: List[Dict[str, np.ndarray]] = []
+        for sample in self.stream:
+            batch.append(sample)
+            if len(batch) == self.batch_size:
+                yield self._collate(batch)
+                batch = []
+
+    def _collate(self, batch) -> Dict[str, np.ndarray]:
+        keys = self.keys or [k for k in batch[0] if k != "scene_hash"]
+        out = {}
+        for k in keys:
+            stacked = np.stack([s[k] for s in batch])
+            if k in ("cond", "relative_cond") and self.n_cond_views:
+                stacked = np.ascontiguousarray(
+                    stacked[:, : self.n_cond_views]
+                )
+            out[k] = stacked
+        out["scene_hash"] = [s["scene_hash"] for s in batch]
+        return out
+
+
+def prefetch(iterator, depth: int = 2):
+    """Background-thread prefetch so host decode overlaps device compute
+    (replaces torch pin_memory/persistent dataloader workers,
+    experiment.py:180-187)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item
+
+
+def create_nmr_stream(
+    split: SplitConfig,
+    *,
+    shuffle_buffer: int = 1000,
+    seed: int = 0,
+    host_id: int = 0,
+    num_hosts: int = 1,
+    resample: bool = True,
+    relative: bool = False,
+) -> NMRStream:
+    """Factory mirroring the reference ``create_webdataset``
+    (data/nmr_dataset.py:64-98)."""
+    urls = expand_shard_urls(
+        split.path, split.mode, split.start_shard, split.end_shard
+    )
+    return NMRStream(
+        urls,
+        mode=split.mode,
+        shuffle_buffer=shuffle_buffer,
+        seed=seed,
+        host_id=host_id,
+        num_hosts=num_hosts,
+        resample=resample,
+        relative=relative,
+    )

@@ -1,0 +1,365 @@
+"""ViewFusion composable diffusion: training loss + reverse sampling.
+
+Capability parity with the reference ``ViewFusion`` nn.Module
+(model/view_fusion.py:12-300): WaveGrad-style continuous noise-level
+training, per-view noise prediction through ONE shared UNet, learned
+per-pixel softmax weighting composing the per-view predictions, full
+T-step ancestral reverse sampling with intermediate frame capture, and
+the no-weighting (mean) ablation.
+
+TPU-native design (NOT a translation):
+  * The reference flattens a ragged ``(B, N, ...) -> (sum(v_i), ...)``
+    batch via per-sample slicing + ``repeat_interleave``
+    (model/view_fusion.py:244-256) and re-pads with -inf for the softmax
+    (model/view_fusion.py:269-287).  Ragged shapes cannot be jitted; we
+    instead keep a static ``(B, N_max, ...)`` layout and compose with a
+    boolean view mask: masked logits are -inf so masked views get exactly
+    zero weight and zero gradient — bit-identical composition semantics
+    (verified in tests/test_composition.py against a ragged numpy oracle).
+  * The reverse chain is a single ``lax.scan`` over T timesteps inside
+    jit (reference: Python tqdm loop, model/view_fusion.py:196-206), with
+    intermediate frames written into preallocated scan-carry buffers
+    instead of a T-long output stack.
+  * RNG is explicit ``jax.random`` key threading.
+
+All image tensors are NHWC (TPU-native layout): y_0 (B, H, W, 3),
+y_cond (B, N_max, H, W, Cc), view_count (B,), angle (B,).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from viewfusion_tpu.config import Config
+from viewfusion_tpu.models.unet import UNet
+from viewfusion_tpu.ops.schedules import DiffusionSchedule, extract
+
+__all__ = ["ViewFusion", "GenerateOutput"]
+
+Params = Any
+
+
+class GenerateOutput(NamedTuple):
+    """Reverse-sampling outputs, mirroring the reference 5-tuple
+    (model/view_fusion.py:208-214)."""
+
+    y_t: jnp.ndarray          # final sample (B, H, W, 3)
+    ret_arr: jnp.ndarray      # (B, frames+1, H, W, 3) incl. initial noise
+    logit_arr: Optional[jnp.ndarray]   # (B, frames, N, H, W, 3) or None
+    weight_arr: Optional[jnp.ndarray]  # (B, frames, N, H, W, 3) or None
+    generated_samples: jnp.ndarray     # == ret_arr[:, -1]
+
+
+def view_mask(view_count: jnp.ndarray, n_max: int) -> jnp.ndarray:
+    """(B,) counts -> (B, N_max) boolean validity mask."""
+    return jnp.arange(n_max)[None, :] < view_count[:, None]
+
+
+@dataclass(frozen=True)
+class ViewFusion:
+    """Functional ViewFusion model.
+
+    Construct with :meth:`from_config`; all methods are pure and take
+    ``params`` explicitly so they compose with jit/grad/shard_map.
+    """
+
+    denoise_fn: UNet
+    schedule: DiffusionSchedule
+    weighting_train: bool = True
+    weighting_inference: bool = True
+
+    @classmethod
+    def from_config(cls, cfg: Config, dtype=None) -> "ViewFusion":
+        import jax.numpy as _jnp
+
+        if dtype is None:
+            dtype = getattr(_jnp, cfg.train.compute_dtype)
+        unet = UNet(config=cfg.unet, dtype=dtype)
+        # The reference installs the *train* schedule unconditionally,
+        # even for eval/inference (experiment.py:102).
+        sched = DiffusionSchedule.create(
+            cfg.diffusion.phases[cfg.diffusion.active_phase]
+        )
+        return cls(
+            denoise_fn=unet,
+            schedule=sched,
+            weighting_train=cfg.diffusion.weighting_train,
+            weighting_inference=cfg.diffusion.weighting_inference,
+        )
+
+    # ------------------------------------------------------------------
+    # init
+    # ------------------------------------------------------------------
+    def init(self, rng: jax.Array, y_cond: jnp.ndarray,
+             y_0: jnp.ndarray) -> Params:
+        """Initialize UNet params from example (single-sample ok) data."""
+        b, n, h, w, cc = y_cond.shape
+        x = jnp.concatenate(
+            [y_cond[:, 0], y_0], axis=-1
+        )  # (B, H, W, Cc+3)
+        angle = jnp.zeros((b,), jnp.float32)
+        level = jnp.ones((b,), jnp.float32)
+        return self.denoise_fn.init(rng, x, angle, level)
+
+    # ------------------------------------------------------------------
+    # forward diffusion
+    # ------------------------------------------------------------------
+    def q_sample(self, y_0: jnp.ndarray, sample_gammas: jnp.ndarray,
+                 noise: jnp.ndarray) -> jnp.ndarray:
+        """sqrt(g)*y0 + sqrt(1-g)*eps (reference: model/view_fusion.py:162-164).
+        ``sample_gammas`` broadcasts against y_0 ((B,1,1,1) or scalar)."""
+        return (
+            jnp.sqrt(sample_gammas) * y_0
+            + jnp.sqrt(1.0 - sample_gammas) * noise
+        )
+
+    # ------------------------------------------------------------------
+    # shared per-view denoise + composition
+    # ------------------------------------------------------------------
+    def _denoise_views(
+        self,
+        params: Params,
+        y_cond: jnp.ndarray,      # (B, N, H, W, Cc)
+        y_target: jnp.ndarray,    # (B, H, W, 3) noisy target
+        noise_level: jnp.ndarray,  # (B,)
+        angle: jnp.ndarray,        # (B,)
+        deterministic: bool = True,
+        rngs=None,
+    ) -> jnp.ndarray:
+        """Run the shared UNet on all B*N view rows at once.
+
+        Replaces the reference's ragged flatten + repeat_interleave
+        (model/view_fusion.py:244-263) with a static reshape: the whole
+        (B*N_max) batch feeds the MXU in one pass."""
+        b, n, h, w, cc = y_cond.shape
+        y_rep = jnp.broadcast_to(y_target[:, None], (b, n, h, w, y_target.shape[-1]))
+        x = jnp.concatenate([y_cond, y_rep], axis=-1).reshape(b * n, h, w, -1)
+        level_rep = jnp.broadcast_to(noise_level[:, None], (b, n)).reshape(-1)
+        angle_rep = jnp.broadcast_to(
+            angle.reshape(-1)[:, None], (b, n)
+        ).reshape(-1)
+        kwargs = {}
+        if rngs is not None:
+            kwargs["rngs"] = rngs
+        out = self.denoise_fn.apply(
+            params, x, angle_rep, level_rep, deterministic=deterministic,
+            **kwargs,
+        )
+        return out.reshape(b, n, h, w, -1)
+
+    def compose(
+        self,
+        unet_out: jnp.ndarray,   # (B, N, H, W, out_ch)
+        mask: jnp.ndarray,       # (B, N) bool
+        weighting: bool,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+        """Compose per-view noise predictions into one estimate.
+
+        Weighted path == reference -inf pad_sequence + softmax over the
+        view axis + weighted sum (model/view_fusion.py:265-287); mean
+        ablation == model/view_fusion.py:289-296.  Masked views receive
+        exactly zero weight AND zero gradient.
+        """
+        noise_all = unet_out[..., :3]
+        m = mask[:, :, None, None, None]
+        if weighting:
+            logits = unet_out[..., 3:].astype(jnp.float32)
+            masked_logits = jnp.where(m, logits, -jnp.inf)
+            zmax = jnp.max(masked_logits, axis=1, keepdims=True)
+            unnorm = jnp.where(m, jnp.exp(masked_logits - zmax), 0.0)
+            weights = unnorm / jnp.sum(unnorm, axis=1, keepdims=True)
+            noise_hat = jnp.sum(noise_all * weights, axis=1)
+            return noise_hat, logits, weights
+        counts = jnp.sum(m, axis=1, dtype=jnp.float32)
+        noise_hat = jnp.sum(jnp.where(m, noise_all, 0.0), axis=1) / counts
+        return noise_hat, None, None
+
+    # ------------------------------------------------------------------
+    # training loss
+    # ------------------------------------------------------------------
+    def loss(
+        self,
+        params: Params,
+        rng: jax.Array,
+        y_0: jnp.ndarray,         # (B, H, W, 3)
+        y_cond: jnp.ndarray,      # (B, N, H, W, Cc)
+        view_count: jnp.ndarray,  # (B,) int
+        angle: jnp.ndarray,       # (B,)
+        noise: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """MSE between true noise and composed prediction
+        (reference: model/view_fusion.py:216-300).
+
+        t ~ U{1..T-1}; gamma sampled uniformly in [gamma_{t-1}, gamma_t)
+        per sample (WaveGrad continuous noise level,
+        model/view_fusion.py:230-237)."""
+        sched = self.schedule
+        b = y_0.shape[0]
+        k_t, k_u, k_noise, k_drop = jax.random.split(rng, 4)
+
+        t = jax.random.randint(k_t, (b,), 1, sched.num_timesteps)
+        gamma_t1 = jnp.take(sched.gammas, t - 1)
+        gamma_t2 = jnp.take(sched.gammas, t)
+        u = jax.random.uniform(k_u, (b,))
+        sample_gammas = (gamma_t2 - gamma_t1) * u + gamma_t1  # (B,)
+
+        if noise is None:
+            noise = jax.random.normal(k_noise, y_0.shape, y_0.dtype)
+        y_noisy = self.q_sample(
+            y_0, sample_gammas[:, None, None, None], noise
+        )
+
+        unet_out = self._denoise_views(
+            params, y_cond, y_noisy, sample_gammas, angle,
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": k_drop},
+        )
+        mask = view_mask(view_count, y_cond.shape[1])
+        noise_hat, _, _ = self.compose(unet_out, mask, self.weighting_train)
+        return jnp.mean((noise - noise_hat) ** 2)
+
+    # ------------------------------------------------------------------
+    # reverse sampling
+    # ------------------------------------------------------------------
+    def p_mean_variance(
+        self,
+        params: Params,
+        y_t: jnp.ndarray,
+        y_cond: jnp.ndarray,
+        mask: jnp.ndarray,
+        angle: jnp.ndarray,
+        t: jnp.ndarray,  # scalar int32 timestep (shared across batch)
+    ):
+        """One denoising step's posterior mean/logvar
+        (reference: model/view_fusion.py:86-160)."""
+        sched = self.schedule
+        b = y_t.shape[0]
+        noise_level = jnp.full((b,), sched.gammas[t], jnp.float32)
+        unet_out = self._denoise_views(params, y_cond, y_t, noise_level, angle)
+        noise, logits, weights = self.compose(
+            unet_out, mask, self.weighting_inference
+        )
+        y_0_hat = (
+            sched.sqrt_recip_gammas[t] * y_t
+            - sched.sqrt_recipm1_gammas[t] * noise
+        )
+        y_0_hat = jnp.clip(y_0_hat, -1.0, 1.0)  # model/view_fusion.py:154-155
+        model_mean = (
+            sched.posterior_mean_coef1[t] * y_0_hat
+            + sched.posterior_mean_coef2[t] * y_t
+        )
+        return model_mean, sched.posterior_log_variance_clipped[t], logits, weights
+
+    def p_sample(
+        self,
+        params: Params,
+        rng: jax.Array,
+        y_t: jnp.ndarray,
+        y_cond: jnp.ndarray,
+        mask: jnp.ndarray,
+        angle: jnp.ndarray,
+        t: jnp.ndarray,
+    ):
+        """Ancestral sampling step: mean + exp(0.5*logvar) * eps, eps=0 at
+        t=0 (reference: model/view_fusion.py:166-177)."""
+        mean, log_var, logits, weights = self.p_mean_variance(
+            params, y_t, y_cond, mask, angle, t
+        )
+        eps = jnp.where(
+            t > 0, jax.random.normal(rng, y_t.shape, y_t.dtype), 0.0
+        )
+        return mean + eps * jnp.exp(0.5 * log_var), logits, weights
+
+    def generate(
+        self,
+        params: Params,
+        rng: jax.Array,
+        y_cond: jnp.ndarray,      # (B, N, H, W, Cc)
+        view_count: jnp.ndarray,  # (B,)
+        angle: jnp.ndarray,       # (B,)
+        y_t: Optional[jnp.ndarray] = None,
+        sample_num: int = 8,
+    ) -> GenerateOutput:
+        """Full T-step reverse chain as one ``lax.scan``
+        (reference: Python loop, model/view_fusion.py:179-214).
+
+        Keeps every ``T // sample_num``-th intermediate frame plus the
+        corresponding logit/weight maps, written into preallocated
+        carry buffers via ``dynamic_update_slice`` — NOT a T-long scan
+        output (SURVEY.md §7 "hard parts").
+        """
+        sched = self.schedule
+        T = sched.num_timesteps
+        assert T > sample_num, "num_timesteps must be greater than sample_num"
+        sample_inter = T // sample_num
+        # Number of captured frames: i in [0, T) with i % sample_inter == 0,
+        # visited in descending order (largest multiple first, 0 last).
+        n_frames = (T - 1) // sample_inter + 1
+
+        b, n, h, w, cc = y_cond.shape
+        k_init, k_scan = jax.random.split(rng)
+        if y_t is None:
+            y_t = jax.random.normal(k_init, (b, h, w, 3), jnp.float32)
+        mask = view_mask(view_count, n)
+        angle = angle.reshape(-1)
+
+        ret_arr = jnp.zeros((n_frames + 1, b, h, w, 3), jnp.float32)
+        ret_arr = ret_arr.at[0].set(y_t)
+        if self.weighting_inference:
+            logit_arr = jnp.zeros((n_frames, b, n, h, w, 3), jnp.float32)
+            weight_arr = jnp.zeros((n_frames, b, n, h, w, 3), jnp.float32)
+        else:
+            logit_arr = jnp.zeros((0,), jnp.float32)
+            weight_arr = jnp.zeros((0,), jnp.float32)
+
+        def step(carry, i):
+            y_t, ret_arr, logit_arr, weight_arr, frame_idx, key = carry
+            key, sub = jax.random.split(key)
+            y_t, logits, weights = self.p_sample(
+                params, sub, y_t, y_cond, mask, angle, i
+            )
+            capture = (i % sample_inter) == 0
+
+            def do_capture(args):
+                ret_arr, logit_arr, weight_arr, frame_idx = args
+                ret_arr = jax.lax.dynamic_update_index_in_dim(
+                    ret_arr, y_t, frame_idx + 1, axis=0
+                )
+                if self.weighting_inference:
+                    logit_arr = jax.lax.dynamic_update_index_in_dim(
+                        logit_arr, logits, frame_idx, axis=0
+                    )
+                    weight_arr = jax.lax.dynamic_update_index_in_dim(
+                        weight_arr, weights.astype(jnp.float32), frame_idx,
+                        axis=0,
+                    )
+                return ret_arr, logit_arr, weight_arr, frame_idx + 1
+
+            ret_arr, logit_arr, weight_arr, frame_idx = jax.lax.cond(
+                capture,
+                do_capture,
+                lambda args: args,
+                (ret_arr, logit_arr, weight_arr, frame_idx),
+            )
+            return (y_t, ret_arr, logit_arr, weight_arr, frame_idx, key), None
+
+        init = (y_t, ret_arr, logit_arr, weight_arr, jnp.int32(0), k_scan)
+        (y_t, ret_arr, logit_arr, weight_arr, _, _), _ = jax.lax.scan(
+            step, init, jnp.arange(T - 1, -1, -1)
+        )
+
+        # Frame axes -> batch-major, matching the reference return contract
+        # (B, frames, ...) (model/view_fusion.py:208-214).
+        ret_arr = jnp.moveaxis(ret_arr, 0, 1)
+        generated_samples = ret_arr[:, -1]
+        if self.weighting_inference:
+            logit_arr = jnp.moveaxis(logit_arr, 0, 1)
+            weight_arr = jnp.moveaxis(weight_arr, 0, 1)
+            return GenerateOutput(y_t, ret_arr, logit_arr, weight_arr,
+                                  generated_samples)
+        return GenerateOutput(y_t, ret_arr, None, None, generated_samples)

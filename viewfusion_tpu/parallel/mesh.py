@@ -1,0 +1,153 @@
+"""Device mesh + sharding: the TPU-native replacement for torch DDP/NCCL.
+
+The reference's entire distributed stack (utils/dist.py: init_process_group
+over NCCL, DDP gradient all-reduce, reduce_dict metric all-reduce,
+explicit barriers) collapses in SPMD JAX to: build a ``Mesh``, annotate
+array shardings, and let XLA insert the collectives over ICI
+(SURVEY.md §2b).  Program order provides the barriers; jit of the global
+computation provides the gradient psum.
+
+Mesh axes:
+  * ``data``  — batch-dimension data parallelism (the reference's only
+    strategy: DDP, experiment.py:104-107).
+  * ``view``  — the model's own parallel axis: the N conditioning views
+    all flow through one shared UNet (model/view_fusion.py:244-263), so
+    the flattened (B, N) UNet batch shards over data AND view.  This is
+    the axis the reference scales by growing GPU memory; here it scales
+    across chips.
+
+Multi-host: call ``initialize_distributed()`` once per process (the
+``jax.distributed.initialize`` equivalent of torchrun's env rendezvous,
+utils/dist.py:14-23), then ``make_global_batch`` assembles per-host
+shards into global arrays.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "MeshSpec",
+    "make_mesh",
+    "batch_sharding",
+    "shard_batch",
+    "replicate",
+    "initialize_distributed",
+    "make_global_batch",
+    "host_id",
+    "num_hosts",
+]
+
+DATA_AXIS = "data"
+VIEW_AXIS = "view"
+
+
+@dataclass(frozen=True)
+class MeshSpec:
+    """How many ways to split each mesh axis; -1 on data = all remaining
+    devices."""
+
+    data: int = -1
+    view: int = 1
+
+
+def make_mesh(spec: MeshSpec = MeshSpec(),
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    view = max(1, spec.view)
+    data = spec.data if spec.data > 0 else n // view
+    if data * view != n:
+        raise ValueError(
+            f"mesh {data}x{view} != {n} devices; adjust MeshSpec"
+        )
+    dev_array = np.asarray(devices).reshape(data, view)
+    return Mesh(dev_array, (DATA_AXIS, VIEW_AXIS))
+
+
+# Sharding rules for the standard batch dict (NHWC):
+#   target (B,H,W,3) -> data on B
+#   cond (B,N,H,W,C) -> data on B, view on N
+#   angle/view_count (B,) -> data on B
+_BATCH_SPECS: Dict[str, P] = {
+    "target": P(DATA_AXIS),
+    "cond": P(DATA_AXIS, VIEW_AXIS),
+    "relative_cond": P(DATA_AXIS, VIEW_AXIS),
+    "all_views": P(DATA_AXIS),
+    "angle": P(DATA_AXIS),
+    "relative_angle": P(DATA_AXIS),
+    "view_count": P(DATA_AXIS),
+    "noise": P(DATA_AXIS),
+}
+
+
+def batch_sharding(mesh: Mesh, key: str) -> NamedSharding:
+    return NamedSharding(mesh, _BATCH_SPECS.get(key, P(DATA_AXIS)))
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
+    """Place a (host-local == global, single-host case) numpy batch onto
+    the mesh with the standard shardings."""
+    out = {}
+    for k, v in batch.items():
+        if not isinstance(v, np.ndarray):
+            continue
+        out[k] = jax.device_put(v, batch_sharding(mesh, k))
+    return out
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree over the mesh (params/opt state under pure
+    DP, matching DDP's replicated model, experiment.py:104-107)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def initialize_distributed() -> None:
+    """Multi-host rendezvous (replaces init_process_group("nccl"),
+    utils/dist.py:21-23).  No-op when single-process or already
+    initialized."""
+    if num_hosts_env() <= 1:
+        return
+    try:
+        jax.distributed.initialize()
+    except RuntimeError:
+        pass  # already initialized
+
+
+def num_hosts_env() -> int:
+    return int(os.environ.get("VF_NUM_PROCESSES",
+                              os.environ.get("JAX_NUM_PROCESSES", "1")))
+
+
+def host_id() -> int:
+    return jax.process_index()
+
+
+def num_hosts() -> int:
+    return jax.process_count()
+
+
+def make_global_batch(local_batch: Dict[str, np.ndarray],
+                      mesh: Mesh) -> Dict[str, Any]:
+    """Assemble per-host local numpy shards into global sharded arrays
+    (replaces per-rank DataLoader + nodesplitter,
+    data/nmr_dataset.py:55-61 + experiment.py:159-162)."""
+    if jax.process_count() == 1:
+        return shard_batch(local_batch, mesh)
+    out = {}
+    for k, v in local_batch.items():
+        if not isinstance(v, np.ndarray):
+            continue
+        sharding = batch_sharding(mesh, k)
+        global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, v, global_shape
+        )
+    return out
