@@ -187,7 +187,18 @@ class Experiment:
             ckpt_name = "best_model_all.msgpack"
         load_dict: Dict[str, Any] = {}
         if self.checkpoint.exists(ckpt_name):
-            self.state, load_dict = self.checkpoint.load(ckpt_name, self.state)
+            try:
+                self.state, load_dict = self.checkpoint.load(
+                    ckpt_name, self.state
+                )
+            except (KeyError, ValueError):
+                # Params-only checkpoint (e.g. converted from the
+                # reference's torch weights): restore params, keep a
+                # fresh optimizer state.
+                restored, load_dict = self.checkpoint.load(
+                    ckpt_name, {"params": self.state.params}
+                )
+                self.state = self.state.replace(params=restored["params"])
             if self.is_host0:
                 print(f"Loaded checkpoint {ckpt_name}.")
 
