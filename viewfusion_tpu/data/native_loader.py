@@ -1,0 +1,121 @@
+"""ctypes binding for the native C++ shard loader (native/vfloader.cpp).
+
+Drop-in replacement for the raw-decode stage of the Python pipeline
+(tar streaming + PNG decode happen in C++ worker threads, off the GIL);
+per-sample processing (process_sample) stays in numpy.  Used
+automatically by ``create_nmr_stream(..., native=True)`` when the shared
+library has been built (native/build.sh).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["NativeShardReader", "native_available", "lib_path"]
+
+_LIB = None
+
+
+def lib_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "native",
+        "libvfloader.so",
+    )
+
+
+def _load_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = lib_path()
+    lib = ctypes.CDLL(path)
+    lib.vf_loader_open.restype = ctypes.c_void_p
+    lib.vf_loader_open.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+    ]
+    lib.vf_loader_next.restype = ctypes.c_int
+    lib.vf_loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.vf_loader_release.argtypes = [ctypes.c_void_p]
+    lib.vf_loader_decode_errors.restype = ctypes.c_long
+    lib.vf_loader_decode_errors.argtypes = [ctypes.c_void_p]
+    lib.vf_loader_close.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def native_available() -> bool:
+    if not os.path.exists(lib_path()):
+        return False
+    try:
+        _load_lib()
+        return True
+    except OSError:
+        return False
+
+
+class NativeShardReader:
+    """Iterates (views_float32_NHWC, key) decoded by C++ threads."""
+
+    def __init__(self, urls: List[str], total_views: int = 24,
+                 n_threads: int = 4, resample: bool = True, seed: int = 0,
+                 capacity: int = 64):
+        self._lib = _load_lib()
+        arr = (ctypes.c_char_p * len(urls))(
+            *[u.encode() for u in urls]
+        )
+        self._handle = self._lib.vf_loader_open(
+            arr, len(urls), n_threads, total_views, int(resample),
+            seed, capacity,
+        )
+        if not self._handle:
+            raise RuntimeError("vf_loader_open failed")
+        self._closed = False
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, str]]:
+        data_p = ctypes.POINTER(ctypes.c_uint8)()
+        views = ctypes.c_int()
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        key = ctypes.create_string_buffer(512)
+        token = ctypes.c_void_p()
+        while True:
+            ok = self._lib.vf_loader_next(
+                self._handle, ctypes.byref(data_p), ctypes.byref(views),
+                ctypes.byref(h), ctypes.byref(w), key, len(key),
+                ctypes.byref(token),
+            )
+            if not ok:
+                return
+            n = views.value * h.value * w.value * 3
+            buf = np.ctypeslib.as_array(data_p, shape=(n,))
+            out = buf.copy().reshape(views.value, h.value, w.value, 3)
+            self._lib.vf_loader_release(token)
+            yield out, key.value.decode()
+
+    @property
+    def decode_errors(self) -> int:
+        return int(self._lib.vf_loader_decode_errors(self._handle))
+
+    def close(self) -> None:
+        if not self._closed:
+            self._lib.vf_loader_close(self._handle)
+            self._closed = True
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -39,18 +39,24 @@ __all__ = ["process_sample", "decode_views", "NMRStream", "create_nmr_stream",
 TOTAL_VIEWS = 24  # views per object in NMR ShapeNet (data/nmr_dataset.py:11)
 
 
-def decode_views(sample: Dict[str, bytes],
-                 total_views: int = TOTAL_VIEWS) -> np.ndarray:
+def decode_views_u8(sample: Dict[str, bytes],
+                    total_views: int = TOTAL_VIEWS) -> np.ndarray:
     """Decode the ``0000.png .. 0023.png`` views of one sample to
-    (V, H, W, 3) float32 in [0, 1] (webdataset ``.decode("rgb")``
-    equivalent, data/nmr_dataset.py:97)."""
+    (V, H, W, 3) uint8."""
     from PIL import Image
 
     views = []
     for i in range(total_views):
         img = Image.open(io.BytesIO(sample[f"{i:04d}.png"])).convert("RGB")
-        views.append(np.asarray(img, dtype=np.float32) / 255.0)
+        views.append(np.asarray(img, dtype=np.uint8))
     return np.stack(views, 0)
+
+
+def decode_views(sample: Dict[str, bytes],
+                 total_views: int = TOTAL_VIEWS) -> np.ndarray:
+    """(V, H, W, 3) float32 in [0, 1] (webdataset ``.decode("rgb")``
+    equivalent, data/nmr_dataset.py:97)."""
+    return decode_views_u8(sample, total_views).astype(np.float32) / 255.0
 
 
 def process_sample(
@@ -109,6 +115,8 @@ class NMRStream:
         resample: bool = True,
         relative: bool = False,
         total_views: int = TOTAL_VIEWS,
+        native: Optional[bool] = None,
+        native_threads: int = 4,
     ):
         if num_hosts > 1:
             if len(urls) % num_hosts != 0:
@@ -127,6 +135,13 @@ class NMRStream:
         self.rng = np.random.default_rng(
             np.random.SeedSequence([seed, host_id])
         )
+        self.seed = seed
+        self.native_threads = native_threads
+        if native is None:
+            from viewfusion_tpu.data.native_loader import native_available
+
+            native = native_available()
+        self.native = native
 
     def _iter_raw(self) -> Iterator[Dict[str, bytes]]:
         while True:
@@ -137,16 +152,37 @@ class NMRStream:
             if not self.resample:
                 return
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        buf: List[Dict[str, np.ndarray]] = []
+    def _iter_decoded(self) -> Iterator:
+        """Yield (views uint8 NHWC, key); C++ decode threads when the
+        native library is built (native/vfloader.cpp), PIL otherwise.
+        uint8 keeps the shuffle buffer 4x smaller than float."""
+        if self.native:
+            from viewfusion_tpu.data.native_loader import NativeShardReader
 
-        def process(raw):
-            images = decode_views(raw, self.total_views)
+            reader = NativeShardReader(
+                self.urls, total_views=self.total_views,
+                n_threads=self.native_threads, resample=self.resample,
+                seed=self.seed,
+            )
+            try:
+                yield from reader
+            finally:
+                reader.close()
+            return
+        for raw in self._iter_raw():
+            yield decode_views_u8(raw, self.total_views), raw["__key__"]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        buf: List = []
+
+        def process(item):
+            images, key = item
             return process_sample(
-                images, raw["__key__"], self.mode, self.rng, self.relative
+                images.astype(np.float32) / 255.0, key, self.mode,
+                self.rng, self.relative,
             )
 
-        for raw in self._iter_raw():
+        for raw in self._iter_decoded():
             if self.shuffle_buffer <= 1:
                 yield process(raw)
                 continue
@@ -233,6 +269,8 @@ def create_nmr_stream(
     num_hosts: int = 1,
     resample: bool = True,
     relative: bool = False,
+    native: Optional[bool] = None,
+    native_threads: int = 4,
 ) -> NMRStream:
     """Factory mirroring the reference ``create_webdataset``
     (data/nmr_dataset.py:64-98)."""
@@ -248,4 +286,6 @@ def create_nmr_stream(
         num_hosts=num_hosts,
         resample=resample,
         relative=relative,
+        native=native,
+        native_threads=native_threads,
     )
