@@ -1,0 +1,93 @@
+"""Packed training path must be numerically identical to the dense
+masked path given the same rng/view counts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viewfusion_tpu.models.view_fusion import ViewFusion
+from viewfusion_tpu.training.trainer import Experiment
+
+
+def _packed_indices(view_count):
+    sample_idx = np.repeat(np.arange(len(view_count)), view_count)
+    view_idx = np.concatenate([np.arange(v) for v in view_count])
+    return sample_idx.astype(np.int32), view_idx.astype(np.int32)
+
+
+def test_packed_loss_equals_dense(tiny_config, rng):
+    model = ViewFusion.from_config(tiny_config)
+    b, n, hw = 4, 3, 8
+    y0 = jnp.asarray(rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32))
+    cond = jnp.asarray(rng.uniform(0, 1, (b, n, hw, hw, 3)).astype(
+        np.float32))
+    vc = np.array([1, 3, 2, 3])
+    angle = jnp.asarray(rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), cond, y0)
+    key = jax.random.PRNGKey(11)
+
+    dense = model.loss(params, key, y0, cond, jnp.asarray(vc), angle)
+    si, vi = _packed_indices(vc)
+    packed = model.loss_packed(params, key, y0, cond, jnp.asarray(vc),
+                               angle, jnp.asarray(si), jnp.asarray(vi))
+    np.testing.assert_allclose(float(dense), float(packed), rtol=1e-5)
+
+    # gradients must match too
+    g_dense = jax.grad(
+        lambda p: model.loss(p, key, y0, cond, jnp.asarray(vc), angle)
+    )(params)
+    g_packed = jax.grad(
+        lambda p: model.loss_packed(p, key, y0, cond, jnp.asarray(vc),
+                                    angle, jnp.asarray(si),
+                                    jnp.asarray(vi))
+    )(params)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_dense),
+                     jax.tree_util.tree_leaves(g_packed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_stratified_counts_static_sum():
+    class FakeExp:
+        max_views = 6
+        rng = np.random.default_rng(0)
+
+    sums = set()
+    for _ in range(10):
+        counts = Experiment._sample_view_count_stratified(FakeExp, 12)
+        assert counts.min() >= 1 and counts.max() <= 6
+        sums.add(int(counts.sum()))
+    assert len(sums) == 1  # static row budget across steps
+
+
+def test_packed_mesh_execution(tiny_config, rng):
+    """Packed loss under sharding-annotated jit on the 8-device mesh."""
+    from viewfusion_tpu.parallel.mesh import (
+        MeshSpec, make_mesh, replicate, shard_batch,
+    )
+
+    model = ViewFusion.from_config(tiny_config)
+    b, n, hw = 8, 4, 8
+    y0 = rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32)
+    cond = rng.uniform(0, 1, (b, n, hw, hw, 3)).astype(np.float32)
+    vc = np.resize(np.arange(1, 5), b)
+    si, vi = _packed_indices(vc)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(cond),
+                        jnp.asarray(y0))
+
+    mesh = make_mesh(MeshSpec(data=8, view=1))
+    batch = shard_batch(
+        {"target": y0, "cond": cond, "view_count": vc.astype(np.int32),
+         "angle": np.zeros(b, np.float32), "sample_idx": si,
+         "view_idx": vi},
+        mesh,
+    )
+    params_r = replicate(params, mesh)
+    loss = jax.jit(
+        lambda p, bt: model.loss_packed(
+            p, jax.random.PRNGKey(1), bt["target"], bt["cond"],
+            bt["view_count"], bt["angle"], bt["sample_idx"],
+            bt["view_idx"],
+        )
+    )(params_r, batch)
+    assert np.isfinite(float(loss))

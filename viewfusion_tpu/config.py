@@ -165,6 +165,25 @@ class TrainConfig:
     # Mesh shape overrides; 0 = auto (data = largest divisor of the batch).
     mesh_data: int = 0
     mesh_view: int = 1
+    # Capture a jax.profiler trace for steps
+    # [profile_from, profile_from + profile_steps) into <run>/profile
+    # (SURVEY.md §5: the reference has no tracing at all).
+    profile_from: int = 0
+    profile_steps: int = 0
+    # Use the native C++ shard loader when built (data/native_loader.py).
+    native_loader: Optional[bool] = None
+    native_threads: int = 4
+    # Eval-time sampler: "ddpm" = reference-parity full ancestral chain;
+    # "ddim" = fast strided sampler (models/view_fusion.py generate_ddim).
+    sampler: str = "ddpm"
+    ddim_steps: int = 50
+    ddim_eta: float = 0.0
+    # Packed training: run the UNet on exactly sum(view_count) rows
+    # (stratified per-batch view counts keep the row budget static) —
+    # ~1.7x fewer UNet FLOPs at max_views=6 vs the dense masked layout.
+    # Default off: per-sample iid counts exactly match the reference
+    # (experiment.py:277-279).
+    packed_views: bool = False
 
 
 @dataclass(frozen=True)

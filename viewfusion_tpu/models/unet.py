@@ -201,6 +201,11 @@ class UNet(nn.Module):
 
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize each block's activations in backward (jax.checkpoint):
+    # trades ~30% more FLOPs for O(depth) less HBM, enabling larger
+    # per-chip batches.  No reference equivalent (torch keeps all
+    # activations).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -229,8 +234,14 @@ class UNet(nn.Module):
         else:
             t = jnp.zeros((x.shape[0], inner), dtype=self.dtype)
 
+        block_cls = (
+            nn.remat(ResnetBlocWithAttn, static_argnums=(3,))
+            if self.remat
+            else ResnetBlocWithAttn
+        )
+
         def make_block(dim_out: int, with_attn: bool, name: str):
-            return ResnetBlocWithAttn(
+            return block_cls(
                 dim_out,
                 norm_groups=cfg.norm_groups,
                 dropout=cfg.dropout,

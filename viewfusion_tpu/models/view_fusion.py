@@ -78,7 +78,7 @@ class ViewFusion:
 
         if dtype is None:
             dtype = getattr(_jnp, cfg.train.compute_dtype)
-        unet = UNet(config=cfg.unet, dtype=dtype)
+        unet = UNet(config=cfg.unet, dtype=dtype, remat=cfg.train.remat)
         # The reference installs the *train* schedule unconditionally,
         # even for eval/inference (experiment.py:102).
         sched = DiffusionSchedule.create(
@@ -224,6 +224,71 @@ class ViewFusion:
         return jnp.mean((noise - noise_hat) ** 2)
 
     # ------------------------------------------------------------------
+    # packed training loss (TPU extension — zero masked-row waste)
+    # ------------------------------------------------------------------
+    def loss_packed(
+        self,
+        params: Params,
+        rng: jax.Array,
+        y_0: jnp.ndarray,          # (B, H, W, 3)
+        y_cond: jnp.ndarray,       # (B, N, H, W, Cc)
+        view_count: jnp.ndarray,   # (B,)
+        angle: jnp.ndarray,        # (B,)
+        sample_idx: jnp.ndarray,   # (R,) packed row -> sample
+        view_idx: jnp.ndarray,     # (R,) packed row -> view within sample
+        noise: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Same objective as :meth:`loss` but the UNet runs on exactly the
+        sum(view_count) valid rows, gathered into a static (R, ...) buffer
+        and scattered back to the dense (B, N) layout for composition.
+
+        The dense path (SURVEY.md §7 item 1) wastes (1 - mean(v)/N_max)
+        of its UNet FLOPs on masked rows (~42% at max_views=6); packing
+        removes that while keeping every shape static.  Identical math to
+        :meth:`loss` given the same rng — verified in tests/test_packed.py.
+        ``sample_idx``/``view_idx`` must enumerate exactly the valid
+        (sample, view<view_count) pairs (host-side, see
+        trainer._packed_indices); R is static because the per-batch
+        view-count multiset is fixed (stratified sampling).
+        """
+        sched = self.schedule
+        b, n = y_cond.shape[:2]
+        k_t, k_u, k_noise, _ = jax.random.split(rng, 4)
+
+        t = jax.random.randint(k_t, (b,), 1, sched.num_timesteps)
+        gamma_t1 = jnp.take(sched.gammas, t - 1)
+        gamma_t2 = jnp.take(sched.gammas, t)
+        u = jax.random.uniform(k_u, (b,))
+        sample_gammas = (gamma_t2 - gamma_t1) * u + gamma_t1
+
+        if noise is None:
+            noise = jax.random.normal(k_noise, y_0.shape, y_0.dtype)
+        y_noisy = self.q_sample(
+            y_0, sample_gammas[:, None, None, None], noise
+        )
+
+        # gather exactly the valid rows
+        cond_rows = y_cond[sample_idx, view_idx]          # (R, H, W, Cc)
+        x = jnp.concatenate(
+            [cond_rows, y_noisy[sample_idx]], axis=-1
+        )
+        out_rows = self.denoise_fn.apply(
+            params, x, angle.reshape(-1)[sample_idx],
+            sample_gammas[sample_idx],
+        )  # (R, H, W, out_ch)
+
+        # scatter back to the dense (B, N) layout; untouched slots stay 0
+        # and are excluded by the mask in compose()
+        h, w, oc = out_rows.shape[1:]
+        dense = jnp.zeros((b * n, h, w, oc), out_rows.dtype)
+        dense = dense.at[sample_idx * n + view_idx].set(out_rows)
+        dense = dense.reshape(b, n, h, w, oc)
+
+        mask = view_mask(view_count, n)
+        noise_hat, _, _ = self.compose(dense, mask, self.weighting_train)
+        return jnp.mean((noise - noise_hat) ** 2)
+
+    # ------------------------------------------------------------------
     # reverse sampling
     # ------------------------------------------------------------------
     def p_mean_variance(
@@ -363,3 +428,82 @@ class ViewFusion:
             return GenerateOutput(y_t, ret_arr, logit_arr, weight_arr,
                                   generated_samples)
         return GenerateOutput(y_t, ret_arr, None, None, generated_samples)
+
+    # ------------------------------------------------------------------
+    # fast sampling (TPU extension — no reference equivalent)
+    # ------------------------------------------------------------------
+    def generate_ddim(
+        self,
+        params: Params,
+        rng: jax.Array,
+        y_cond: jnp.ndarray,
+        view_count: jnp.ndarray,
+        angle: jnp.ndarray,
+        num_steps: int = 50,
+        eta: float = 0.0,
+        y_t: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """DDIM sampling (Song et al. 2021) over a strided subset of the
+        trained schedule — 10-40x fewer UNet passes than the reference's
+        full ancestral chain (model/view_fusion.py:196-206) at near-equal
+        fidelity, using the SAME trained model and gammas buffer.
+
+        eta=0 is deterministic DDIM; eta=1 recovers DDPM-like noise.
+        Returns the generated samples (B, H, W, 3).  This is a pure
+        extension: reference-parity sampling remains :meth:`generate`.
+        """
+        sched = self.schedule
+        T = sched.num_timesteps
+        assert 1 <= num_steps <= T
+        # strided timestep subsequence, descending, always ending at 0
+        ts = jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)[::-1]
+        ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+
+        b, n, h, w, _ = y_cond.shape
+        k_init, k_scan = jax.random.split(rng)
+        if y_t is None:
+            y_t = jax.random.normal(k_init, (b, h, w, 3), jnp.float32)
+        mask = view_mask(view_count, n)
+        angle = angle.reshape(-1)
+
+        def step(carry, t_pair):
+            y_t, key = carry
+            t, t_prev = t_pair
+            key, sub = jax.random.split(key)
+            gamma_t = sched.gammas[t]
+            gamma_prev = jnp.where(t_prev >= 0, sched.gammas[t_prev], 1.0)
+
+            noise_level = jnp.full((b,), gamma_t, jnp.float32)
+            unet_out = self._denoise_views(
+                params, y_cond, y_t, noise_level, angle
+            )
+            eps, _, _ = self.compose(unet_out, mask,
+                                     self.weighting_inference)
+            y0_hat = (
+                sched.sqrt_recip_gammas[t] * y_t
+                - sched.sqrt_recipm1_gammas[t] * eps
+            )
+            y0_hat = jnp.clip(y0_hat, -1.0, 1.0)
+            # re-derive eps from the clipped y0 (keeps the update
+            # consistent with the clamp, as ancestral sampling does)
+            eps = (y_t - jnp.sqrt(gamma_t) * y0_hat) / jnp.sqrt(
+                1.0 - gamma_t
+            )
+            sigma = eta * jnp.sqrt(
+                (1.0 - gamma_prev) / (1.0 - gamma_t)
+                * (1.0 - gamma_t / gamma_prev)
+            )
+            dir_term = jnp.sqrt(
+                jnp.maximum(1.0 - gamma_prev - sigma**2, 0.0)
+            ) * eps
+            z = jnp.where(
+                t_prev >= 0,
+                jax.random.normal(sub, y_t.shape, y_t.dtype),
+                0.0,
+            )
+            y_next = jnp.sqrt(gamma_prev) * y0_hat + dir_term + sigma * z
+            return (y_next, key), None
+
+        (y_t, _), _ = jax.lax.scan(step, (y_t, k_scan),
+                                   (ts, ts_prev))
+        return y_t

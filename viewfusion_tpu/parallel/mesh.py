@@ -84,6 +84,9 @@ _BATCH_SPECS: Dict[str, P] = {
     "relative_angle": P(DATA_AXIS),
     "view_count": P(DATA_AXIS),
     "noise": P(DATA_AXIS),
+    # packed-row index vectors gather across samples; replicate them
+    "sample_idx": P(),
+    "view_idx": P(),
 }
 
 

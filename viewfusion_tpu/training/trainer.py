@@ -216,9 +216,33 @@ class Experiment:
             partial(self.model.generate,
                     sample_num=self.config.train.sample_num)
         )
+        self._jit_generate_ddim = jax.jit(
+            partial(self.model.generate_ddim,
+                    num_steps=self.config.train.ddim_steps,
+                    eta=self.config.train.ddim_eta)
+        )
+
+    def _eval_samples(self, key, cond, view_count, angle):
+        """Eval-time generation: reference-parity ancestral chain by
+        default; fast DDIM when tpu.sampler == "ddim"."""
+        if self.config.train.sampler == "ddim":
+            return self._jit_generate_ddim(
+                self.state.params, key, cond, view_count, angle
+            )
+        out = self._jit_generate(
+            self.state.params, key, cond, view_count, angle
+        )
+        return out.generated_samples
 
     def _train_step_impl(self, state: TrainState, batch, rng):
         def loss_fn(p):
+            if self.config.train.packed_views:
+                return self.model.loss_packed(
+                    p, rng,
+                    batch["target"], batch[self.cond_key],
+                    batch["view_count"], batch[self.angle_key],
+                    batch["sample_idx"], batch["view_idx"],
+                )
             return self.model.loss(
                 p, rng,
                 batch["target"], batch[self.cond_key],
@@ -247,6 +271,8 @@ class Experiment:
                 cfg.data.train, shuffle_buffer=1000, seed=seed,
                 host_id=jax.process_index(), num_hosts=nproc,
                 resample=True, relative=self.relative,
+                native=cfg.train.native_loader,
+                native_threads=cfg.train.native_threads,
             )
             self.train_loader = prefetch(
                 iter(Batcher(stream, self.local_batch_size,
@@ -282,23 +308,70 @@ class Experiment:
 
     # ------------------------------------------------------------------
     def _prep_batch(self, batch: Dict[str, np.ndarray],
-                    view_count: np.ndarray) -> Dict[str, Any]:
+                    view_count: np.ndarray,
+                    packed: bool = False) -> Dict[str, Any]:
         prepped = {
             "target": batch["target"],
             self.cond_key: batch[self.cond_key],
             self.angle_key: np.asarray(batch[self.angle_key]).reshape(-1),
             "view_count": view_count.astype(np.int32),
         }
+        if packed:
+            prepped["sample_idx"], prepped["view_idx"] = (
+                self._packed_indices(view_count)
+            )
         return make_global_batch(prepped, self.mesh)
 
     def _sample_view_count(self, n: int) -> np.ndarray:
         """view_count ~ U{1..max_views} per sample (experiment.py:277-279)."""
         return self.rng.integers(1, self.max_views + 1, (n,))
 
+    def _sample_view_count_stratified(self, n: int) -> np.ndarray:
+        """Fixed per-batch count multiset (each of 1..max_views equally
+        often, remainder round-robin), randomly permuted — keeps
+        sum(view_count) static for the packed train step while matching
+        the uniform marginal distribution in expectation."""
+        counts = np.resize(np.arange(1, self.max_views + 1), n)
+        self.rng.shuffle(counts)
+        return counts
+
+    @staticmethod
+    def _packed_indices(view_count: np.ndarray):
+        """Enumerate valid (sample, view) pairs for loss_packed."""
+        sample_idx = np.repeat(np.arange(len(view_count)), view_count)
+        view_idx = np.concatenate([np.arange(v) for v in view_count])
+        return sample_idx.astype(np.int32), view_idx.astype(np.int32)
+
     # ------------------------------------------------------------------
     def train(self) -> None:
         cfg = self.config.train
         acc_loss = []
+        step_t0 = None
+
+        # Preemption safety (no reference equivalent — torch runs just
+        # die): SIGTERM requests a final rolling checkpoint at the next
+        # step boundary, so TPU-VM maintenance events never lose more
+        # than one step.
+        import signal
+
+        self._stop_requested = False
+
+        def _request_stop(signum, frame):
+            self._stop_requested = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _request_stop)
+        except ValueError:  # non-main thread (tests)
+            prev_handler = None
+
+        try:
+            self._train_loop(cfg, acc_loss)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _train_loop(self, cfg, acc_loss) -> None:
+        last_log = [time.perf_counter(), self.it]
         while True:
             for batch in self.train_loader:
                 self.it += 1
@@ -318,6 +391,12 @@ class Experiment:
                                          **checkpoint_extra)
                 self._checkpoint_extra = checkpoint_extra
 
+                if self._stop_requested:
+                    print("SIGTERM received: checkpointing and exiting.")
+                    self.checkpoint.save("model.msgpack", self.state,
+                                         **checkpoint_extra)
+                    return
+
                 if (
                     self.it >= cfg.validate_from
                     and cfg.validate_every > 0
@@ -326,11 +405,31 @@ class Experiment:
                     self.eval()
                     self.inference()
 
+                if (
+                    cfg.profile_steps > 0
+                    and self.it == cfg.profile_from
+                    and self.is_host0
+                ):
+                    jax.profiler.start_trace(
+                        os.path.join(self.out_dir, "profile")
+                    )
+                if (
+                    cfg.profile_steps > 0
+                    and self.it == cfg.profile_from + cfg.profile_steps
+                    and self.is_host0
+                ):
+                    jax.profiler.stop_trace()
+                    print(f"Profiler trace written to "
+                          f"{self.out_dir}/profile")
+
                 t0 = time.perf_counter()
-                view_count = self._sample_view_count(
-                    batch["target"].shape[0]
-                )
-                device_batch = self._prep_batch(batch, view_count)
+                packed = cfg.packed_views
+                view_count = (
+                    self._sample_view_count_stratified
+                    if packed else self._sample_view_count
+                )(batch["target"].shape[0])
+                device_batch = self._prep_batch(batch, view_count,
+                                                packed=packed)
                 step_rng = jax.random.fold_in(
                     jax.random.PRNGKey(self.config.train.seed), self.it
                 )
@@ -344,11 +443,16 @@ class Experiment:
                     mean_loss = float(
                         jnp.mean(jnp.stack(acc_loss))
                     ) if acc_loss else 0.0
-                    acc_loss = []
+                    acc_loss.clear()
+                    now = time.perf_counter()
+                    steps = self.it - last_log[1]
+                    sps = steps / max(now - last_log[0], 1e-9)
+                    last_log[:] = [now, self.it]
                     self.log_dict.update(
                         t=self.time_elapsed,
                         lr=float(self._lr_fn(self.it)),
                         loss=mean_loss,
+                        steps_per_sec=sps,
                     )
                     self.logger.log(self.log_dict, self.it)
                     self.log_dict = {}
@@ -373,13 +477,12 @@ class Experiment:
             key = jax.random.fold_in(
                 jax.random.PRNGKey(self.config.train.seed + 17), len(ssims)
             )
-            out = self._jit_generate(
-                self.state.params, key,
+            gen = self._eval_samples(
+                key,
                 device_batch[self.cond_key],
                 device_batch["view_count"],
                 device_batch[self.angle_key],
             )
-            gen = out.generated_samples
             target = device_batch["target"]
             ssims.append(compute_ssim(gen, target))
             psnrs.append(compute_psnr(gen, target))
