@@ -11,7 +11,13 @@ Baseline: the reference paper model trained 710k steps in ~6.5 days on
 (BASELINE.md).  We run the same per-chip workload: paper "small" config
 (configs/small-v100-4.yaml: image 64, inner 64, mults 1/2/3/5,
 res_blocks 3, attention at 16x16, T=2000 schedule), per-chip batch 28,
-max_views 6, per-sample view_count ~ U{1..6}.
+max_views 6.
+
+Work parity note: the reference's ragged flatten runs the UNet on
+sum(view_count) ~= 98 rows per step of batch 28 (E[v]=3.5,
+model/view_fusion.py:244-256).  The packed TPU path measured here
+computes exactly the same 98 rows (stratified counts, sum fixed), so
+steps/s is an apples-to-apples comparison of per-step work.
 
 Extra diagnostics (sampling throughput etc.) go to stderr; stdout is the
 single JSON line.
@@ -90,7 +96,17 @@ def main():
     cond = jnp.asarray(
         rng.uniform(0, 1, (b, n, hw, hw, 3)).astype(np.float32)
     )
-    view_count = jnp.asarray(rng.integers(1, n + 1, (b,)).astype(np.int32))
+    # stratified counts: sum(view_count) == b * (n+1)/2 == the
+    # reference's expected per-step row count
+    counts = np.resize(np.arange(1, n + 1), b)
+    np.random.default_rng(1).shuffle(counts)
+    view_count = jnp.asarray(counts.astype(np.int32))
+    sample_idx = jnp.asarray(
+        np.repeat(np.arange(b), counts).astype(np.int32)
+    )
+    view_idx = jnp.asarray(
+        np.concatenate([np.arange(v) for v in counts]).astype(np.int32)
+    )
     angle = jnp.asarray(
         rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32)
     )
@@ -106,7 +122,8 @@ def main():
     @jax.jit
     def train_step(params, opt_state, key, y0, cond, view_count, angle):
         def loss_fn(p):
-            return model.loss(p, key, y0, cond, view_count, angle)
+            return model.loss_packed(p, key, y0, cond, view_count, angle,
+                                     sample_idx, view_idx)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
