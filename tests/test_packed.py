@@ -91,3 +91,36 @@ def test_packed_mesh_execution(tiny_config, rng):
         )
     )(params_r, batch)
     assert np.isfinite(float(loss))
+
+
+def test_packed_generate_matches_dense(tiny_config, rng):
+    """Packed per-step UNet rows must not change sampling results."""
+    model = ViewFusion.from_config(tiny_config)
+    b, n, hw = 3, 3, 8
+    y0 = jnp.asarray(rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32))
+    cond = jnp.asarray(rng.uniform(0, 1, (b, n, hw, hw, 3)).astype(
+        np.float32))
+    vc = np.array([1, 3, 2])
+    angle = jnp.asarray(rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), cond, y0)
+    si, vi = _packed_indices(vc)
+    key = jax.random.PRNGKey(5)
+
+    dense = model.generate(params, key, cond, jnp.asarray(vc), angle,
+                           sample_num=4)
+    packed = model.generate(params, key, cond, jnp.asarray(vc), angle,
+                            sample_num=4,
+                            packed_idx=(jnp.asarray(si), jnp.asarray(vi)))
+    np.testing.assert_allclose(np.asarray(dense.y_t),
+                               np.asarray(packed.y_t), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dense.weight_arr),
+                               np.asarray(packed.weight_arr), atol=1e-5)
+
+    d_ddim = model.generate_ddim(params, key, cond, jnp.asarray(vc),
+                                 angle, num_steps=4)
+    p_ddim = model.generate_ddim(params, key, cond, jnp.asarray(vc),
+                                 angle, num_steps=4,
+                                 packed_idx=(jnp.asarray(si),
+                                             jnp.asarray(vi)))
+    np.testing.assert_allclose(np.asarray(d_ddim), np.asarray(p_ddim),
+                               atol=1e-5)

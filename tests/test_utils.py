@@ -1,0 +1,88 @@
+"""Unit tests: LR schedule numerics, image grid/GIF utils, checkpoint
+partial restore."""
+
+import os
+
+import numpy as np
+import pytest
+
+from viewfusion_tpu.training.schedulers import LrScheduler, lr_schedule
+from viewfusion_tpu.utils.image import make_grid, save_gif, save_png, to_uint8
+
+
+def test_lr_scheduler_reference_numerics():
+    """Warmup then exponential decay (reference utils/schedulers.py with
+    experiment.py:112-116 constants)."""
+    s = LrScheduler(peak_lr=1e-4, peak_it=2500, decay_rate=0.16,
+                    decay_it=4_000_000)
+    assert s.get_cur_lr(0) == 0.0
+    assert s.get_cur_lr(1250) == pytest.approx(5e-5)
+    assert s.get_cur_lr(2500) == pytest.approx(1e-4)
+    it = 2500 + 4_000_000
+    assert s.get_cur_lr(it) == pytest.approx(1e-4 * 0.16)
+
+    # optax schedule matches the host class
+    f = lr_schedule(peak_lr=1e-4, peak_it=2500, decay_rate=0.16,
+                    decay_it=4_000_000)
+    for it in (0, 100, 2500, 10_000, 1_000_000):
+        assert float(f(it)) == pytest.approx(s.get_cur_lr(it), rel=1e-5)
+
+
+def test_make_grid_layout():
+    imgs = np.zeros((6, 4, 4, 3), np.float32)
+    for i in range(6):
+        imgs[i] = (i + 1) / 6.0
+    grid = make_grid(imgs, nrow=3, padding=1, pad_value=-1)
+    # 2 rows x 3 cols of 4px tiles with 1px padding
+    assert grid.shape == (1 + 2 * 5, 1 + 3 * 5, 3)
+    assert grid[0, 0, 0] == -1  # border padding
+    np.testing.assert_allclose(grid[1:5, 1:5], imgs[0])
+    np.testing.assert_allclose(grid[6:10, 11:15], imgs[5])
+
+
+def test_make_grid_scale_each():
+    imgs = np.stack([np.full((2, 2, 3), 5.0), np.full((2, 2, 3), -3.0)])
+    imgs[0, 0, 0] = 0.0
+    imgs[1, 0, 0] = 1.0
+    grid = make_grid(imgs, nrow=2, padding=0, scale_each=True)
+    assert grid.max() <= 1.0 and grid.min() >= 0.0
+
+
+def test_to_uint8_and_png_gif(tmp_path):
+    img = np.random.default_rng(0).uniform(0, 1, (8, 8, 3)).astype(
+        np.float32
+    )
+    u8 = to_uint8(img)
+    assert u8.dtype == np.uint8
+    assert to_uint8(u8) is u8  # already uint8 passthrough
+    assert to_uint8(np.full((2, 2, 3), 2.0)).max() == 255  # clipped
+
+    png = str(tmp_path / "x.png")
+    save_png(img, png)
+    gif = str(tmp_path / "x.gif")
+    save_gif([u8, 255 - u8], gif, duration=0.05)
+    assert os.path.getsize(png) > 0 and os.path.getsize(gif) > 0
+    from PIL import Image
+
+    assert Image.open(gif).n_frames == 2
+
+
+def test_checkpoint_params_only_restore(tmp_path):
+    """Converted (params-only) checkpoints restore with fresh opt state
+    (trainer fallback path)."""
+    from viewfusion_tpu.training.checkpoint import Checkpoint
+
+    ckpt = Checkpoint(str(tmp_path))
+    params = {"w": np.arange(4.0, dtype=np.float32)}
+    ckpt.save("best_model_all.msgpack", {"params": params}, it=7, ssim=0.5)
+
+    state, extra = ckpt.load("best_model_all.msgpack",
+                             {"params": {"w": np.zeros(4, np.float32)}})
+    np.testing.assert_array_equal(state["params"]["w"], params["w"])
+    assert extra == {"it": 7, "ssim": 0.5}
+
+    # full-template load must fail so the trainer falls back
+    with pytest.raises((KeyError, ValueError)):
+        ckpt.load("best_model_all.msgpack",
+                  {"params": {"w": np.zeros(4, np.float32)},
+                   "opt_state": {"m": np.zeros(4, np.float32)}})

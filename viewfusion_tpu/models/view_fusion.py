@@ -129,22 +129,43 @@ class ViewFusion:
         angle: jnp.ndarray,        # (B,)
         deterministic: bool = True,
         rngs=None,
+        packed_idx=None,           # optional (sample_idx, view_idx) (R,)
     ) -> jnp.ndarray:
-        """Run the shared UNet on all B*N view rows at once.
+        """Run the shared UNet on the view rows.
 
-        Replaces the reference's ragged flatten + repeat_interleave
-        (model/view_fusion.py:244-263) with a static reshape: the whole
-        (B*N_max) batch feeds the MXU in one pass."""
+        Dense mode replaces the reference's ragged flatten +
+        repeat_interleave (model/view_fusion.py:244-263) with a static
+        reshape: the whole (B*N_max) batch feeds the MXU in one pass.
+        Packed mode (``packed_idx`` given) gathers exactly the valid
+        rows into a static (R, ...) buffer and scatters the outputs back
+        to the dense layout — zero masked-row FLOPs.  Both return
+        (B, N, H, W, out_ch); untouched packed slots are 0 and must be
+        masked downstream (compose() does)."""
         b, n, h, w, cc = y_cond.shape
-        y_rep = jnp.broadcast_to(y_target[:, None], (b, n, h, w, y_target.shape[-1]))
-        x = jnp.concatenate([y_cond, y_rep], axis=-1).reshape(b * n, h, w, -1)
-        level_rep = jnp.broadcast_to(noise_level[:, None], (b, n)).reshape(-1)
-        angle_rep = jnp.broadcast_to(
-            angle.reshape(-1)[:, None], (b, n)
-        ).reshape(-1)
+        angle = angle.reshape(-1)
         kwargs = {}
         if rngs is not None:
             kwargs["rngs"] = rngs
+
+        if packed_idx is not None:
+            sample_idx, view_idx = packed_idx
+            cond_rows = y_cond[sample_idx, view_idx]
+            x = jnp.concatenate(
+                [cond_rows, y_target[sample_idx]], axis=-1
+            )
+            out_rows = self.denoise_fn.apply(
+                params, x, angle[sample_idx], noise_level[sample_idx],
+                deterministic=deterministic, **kwargs,
+            )
+            oc = out_rows.shape[-1]
+            dense = jnp.zeros((b * n, h, w, oc), out_rows.dtype)
+            dense = dense.at[sample_idx * n + view_idx].set(out_rows)
+            return dense.reshape(b, n, h, w, oc)
+
+        y_rep = jnp.broadcast_to(y_target[:, None], (b, n, h, w, y_target.shape[-1]))
+        x = jnp.concatenate([y_cond, y_rep], axis=-1).reshape(b * n, h, w, -1)
+        level_rep = jnp.broadcast_to(noise_level[:, None], (b, n)).reshape(-1)
+        angle_rep = jnp.broadcast_to(angle[:, None], (b, n)).reshape(-1)
         out = self.denoise_fn.apply(
             params, x, angle_rep, level_rep, deterministic=deterministic,
             **kwargs,
@@ -267,23 +288,10 @@ class ViewFusion:
             y_0, sample_gammas[:, None, None, None], noise
         )
 
-        # gather exactly the valid rows
-        cond_rows = y_cond[sample_idx, view_idx]          # (R, H, W, Cc)
-        x = jnp.concatenate(
-            [cond_rows, y_noisy[sample_idx]], axis=-1
+        dense = self._denoise_views(
+            params, y_cond, y_noisy, sample_gammas, angle,
+            packed_idx=(sample_idx, view_idx),
         )
-        out_rows = self.denoise_fn.apply(
-            params, x, angle.reshape(-1)[sample_idx],
-            sample_gammas[sample_idx],
-        )  # (R, H, W, out_ch)
-
-        # scatter back to the dense (B, N) layout; untouched slots stay 0
-        # and are excluded by the mask in compose()
-        h, w, oc = out_rows.shape[1:]
-        dense = jnp.zeros((b * n, h, w, oc), out_rows.dtype)
-        dense = dense.at[sample_idx * n + view_idx].set(out_rows)
-        dense = dense.reshape(b, n, h, w, oc)
-
         mask = view_mask(view_count, n)
         noise_hat, _, _ = self.compose(dense, mask, self.weighting_train)
         return jnp.mean((noise - noise_hat) ** 2)
@@ -299,13 +307,15 @@ class ViewFusion:
         mask: jnp.ndarray,
         angle: jnp.ndarray,
         t: jnp.ndarray,  # scalar int32 timestep (shared across batch)
+        packed_idx=None,
     ):
         """One denoising step's posterior mean/logvar
         (reference: model/view_fusion.py:86-160)."""
         sched = self.schedule
         b = y_t.shape[0]
         noise_level = jnp.full((b,), sched.gammas[t], jnp.float32)
-        unet_out = self._denoise_views(params, y_cond, y_t, noise_level, angle)
+        unet_out = self._denoise_views(params, y_cond, y_t, noise_level,
+                                       angle, packed_idx=packed_idx)
         noise, logits, weights = self.compose(
             unet_out, mask, self.weighting_inference
         )
@@ -329,11 +339,12 @@ class ViewFusion:
         mask: jnp.ndarray,
         angle: jnp.ndarray,
         t: jnp.ndarray,
+        packed_idx=None,
     ):
         """Ancestral sampling step: mean + exp(0.5*logvar) * eps, eps=0 at
         t=0 (reference: model/view_fusion.py:166-177)."""
         mean, log_var, logits, weights = self.p_mean_variance(
-            params, y_t, y_cond, mask, angle, t
+            params, y_t, y_cond, mask, angle, t, packed_idx=packed_idx
         )
         eps = jnp.where(
             t > 0, jax.random.normal(rng, y_t.shape, y_t.dtype), 0.0
@@ -349,6 +360,7 @@ class ViewFusion:
         angle: jnp.ndarray,       # (B,)
         y_t: Optional[jnp.ndarray] = None,
         sample_num: int = 8,
+        packed_idx=None,
     ) -> GenerateOutput:
         """Full T-step reverse chain as one ``lax.scan``
         (reference: Python loop, model/view_fusion.py:179-214).
@@ -357,6 +369,10 @@ class ViewFusion:
         corresponding logit/weight maps, written into preallocated
         carry buffers via ``dynamic_update_slice`` — NOT a T-long scan
         output (SURVEY.md §7 "hard parts").
+
+        ``packed_idx`` (static (sample_idx, view_idx) pair) switches the
+        per-step UNet to packed rows — zero masked-view FLOPs across the
+        whole chain.
         """
         sched = self.schedule
         T = sched.num_timesteps
@@ -386,7 +402,8 @@ class ViewFusion:
             y_t, ret_arr, logit_arr, weight_arr, frame_idx, key = carry
             key, sub = jax.random.split(key)
             y_t, logits, weights = self.p_sample(
-                params, sub, y_t, y_cond, mask, angle, i
+                params, sub, y_t, y_cond, mask, angle, i,
+                packed_idx=packed_idx,
             )
             capture = (i % sample_inter) == 0
 
@@ -442,6 +459,7 @@ class ViewFusion:
         num_steps: int = 50,
         eta: float = 0.0,
         y_t: Optional[jnp.ndarray] = None,
+        packed_idx=None,
     ) -> jnp.ndarray:
         """DDIM sampling (Song et al. 2021) over a strided subset of the
         trained schedule — 10-40x fewer UNet passes than the reference's
@@ -475,7 +493,8 @@ class ViewFusion:
 
             noise_level = jnp.full((b,), gamma_t, jnp.float32)
             unet_out = self._denoise_views(
-                params, y_cond, y_t, noise_level, angle
+                params, y_cond, y_t, noise_level, angle,
+                packed_idx=packed_idx,
             )
             eps, _, _ = self.compose(unet_out, mask,
                                      self.weighting_inference)

@@ -222,15 +222,25 @@ class Experiment:
                     eta=self.config.train.ddim_eta)
         )
 
-    def _eval_samples(self, key, cond, view_count, angle):
+    def _eval_samples(self, key, device_batch):
         """Eval-time generation: reference-parity ancestral chain by
-        default; fast DDIM when tpu.sampler == "ddim"."""
+        default; fast DDIM when tpu.sampler == "ddim"; packed per-step
+        UNet rows when tpu.packed_views."""
+        cond = device_batch[self.cond_key]
+        vc = device_batch["view_count"]
+        angle = device_batch[self.angle_key]
+        packed_idx = None
+        if "sample_idx" in device_batch:
+            packed_idx = (device_batch["sample_idx"],
+                          device_batch["view_idx"])
         if self.config.train.sampler == "ddim":
             return self._jit_generate_ddim(
-                self.state.params, key, cond, view_count, angle
+                self.state.params, key, cond, vc, angle,
+                packed_idx=packed_idx,
             )
         out = self._jit_generate(
-            self.state.params, key, cond, view_count, angle
+            self.state.params, key, cond, vc, angle,
+            packed_idx=packed_idx,
         )
         return out.generated_samples
 
@@ -469,20 +479,18 @@ class Experiment:
         (experiment.py:314-391)."""
         print("Running metric evaluation...")
         ssims, psnrs = [], []
+        packed = self.config.train.packed_views
         for val_batch in self.val_loader():
-            view_count = self._sample_view_count(
-                val_batch["target"].shape[0]
-            )
-            device_batch = self._prep_batch(val_batch, view_count)
+            view_count = (
+                self._sample_view_count_stratified
+                if packed else self._sample_view_count
+            )(val_batch["target"].shape[0])
+            device_batch = self._prep_batch(val_batch, view_count,
+                                            packed=packed)
             key = jax.random.fold_in(
                 jax.random.PRNGKey(self.config.train.seed + 17), len(ssims)
             )
-            gen = self._eval_samples(
-                key,
-                device_batch[self.cond_key],
-                device_batch["view_count"],
-                device_batch[self.angle_key],
-            )
+            gen = self._eval_samples(key, device_batch)
             target = device_batch["target"]
             ssims.append(compute_ssim(gen, target))
             psnrs.append(compute_psnr(gen, target))
