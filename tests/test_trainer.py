@@ -118,3 +118,29 @@ def test_inference_modes(tiny_run):
                f.endswith(".gif") for f in outs)
     assert any(f.startswith("weights_animated-") and f.endswith(".gif")
                for f in outs)
+
+
+def test_eval_dump_images(tiny_run):
+    """tpu.eval_dump_images writes generated/target folders consumable by
+    the offline metric CLI."""
+    tmp_path, config_path, raw = tiny_run
+    raw = copy.deepcopy(raw)
+    raw["model"]["max_it"] = 2
+    raw["tpu"]["eval_dump_images"] = True
+    cfg2 = str(tmp_path / "dump.yaml")
+    with open(cfg2, "w") as f:
+        yaml.dump(raw, f)
+    exp = Experiment(ExperimentArgs(config=cfg2, train=True),
+                     log_root=str(tmp_path / "logs4"))
+    exp.train()
+    exp.eval()
+    root = os.path.join(exp.out_dir, f"images-{exp.it}")
+    gen = sorted(os.listdir(os.path.join(root, "generated")))
+    tgt = sorted(os.listdir(os.path.join(root, "target")))
+    assert gen == tgt and len(gen) == 8  # test.size samples
+
+    from viewfusion_tpu.utils.compute_metrics import compute_folder_metrics
+
+    m = compute_folder_metrics(os.path.join(root, "generated"),
+                               os.path.join(root, "target"))
+    assert m["count"] == 8 and np.isfinite(m["psnr"])

@@ -178,6 +178,11 @@ class TrainConfig:
     sampler: str = "ddpm"
     ddim_steps: int = 50
     ddim_eta: float = 0.0
+    # Dump generated + ground-truth images during eval into
+    # <run>/images-<it>/{generated,target}/ for the offline metric CLI
+    # (utils/compute_metrics.py) — the reference's eval image folders
+    # (utils/compute_metrics.py:10) were produced by ad-hoc code.
+    eval_dump_images: bool = False
     # Packed training: run the UNet on exactly sum(view_count) rows
     # (stratified per-batch view counts keep the row budget static) —
     # ~1.7x fewer UNet FLOPs at max_views=6 vs the dense masked layout.

@@ -494,6 +494,8 @@ class Experiment:
             target = device_batch["target"]
             ssims.append(compute_ssim(gen, target))
             psnrs.append(compute_psnr(gen, target))
+            if self.config.train.eval_dump_images and self.is_host0:
+                self._dump_eval_images(gen, target, len(ssims) - 1)
 
         # Global means: arrays are mesh-global, so these reductions are
         # XLA collectives — replaces barrier+reduce_dict
@@ -522,6 +524,22 @@ class Experiment:
             if best_cnt == 2:
                 self.checkpoint.save("best_model_all.msgpack", self.state,
                                      **extra)
+
+    def _dump_eval_images(self, gen, target, batch_idx: int) -> None:
+        """Write generated/target PNG pairs for the offline metric CLI."""
+        from viewfusion_tpu.utils.image import save_png
+
+        root = os.path.join(self.out_dir, f"images-{max(self.it, 0)}")
+        gdir = os.path.join(root, "generated")
+        tdir = os.path.join(root, "target")
+        os.makedirs(gdir, exist_ok=True)
+        os.makedirs(tdir, exist_ok=True)
+        gen = np.asarray(gen)
+        target = np.asarray(target)
+        for i in range(gen.shape[0]):
+            stem = f"{batch_idx:04d}-{i:04d}.png"
+            save_png(np.clip(gen[i], 0, 1), os.path.join(gdir, stem))
+            save_png(target[i], os.path.join(tdir, stem))
 
     # ------------------------------------------------------------------
     def inference(self) -> None:
