@@ -91,16 +91,29 @@ def main():
         return
     xplane = max(xplanes, key=os.path.getmtime)
     try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
+        from xprof.convert import raw_to_tool_data
 
         data, _ = raw_to_tool_data.xspace_to_tool_data(
             [xplane], "framework_op_stats", {}
         )
-        # csv-ish table; print top rows
-        text = data.decode() if isinstance(data, bytes) else str(data)
-        lines = text.splitlines()
-        for line in lines[:40]:
-            print(line)
+        tbl = json.loads(data.decode() if isinstance(data, bytes) else data)
+        if isinstance(tbl, list):
+            tbl = tbl[0]
+        cols = [c["id"] for c in tbl["cols"]]
+        rows = [[c.get("v") for c in r["c"]] for r in tbl["rows"]]
+        i_type = cols.index("type")
+        i_t = cols.index("total_self_time")
+        i_dev = cols.index("host_or_device")
+        agg = {}
+        for r in rows:
+            if r[i_dev] != "Device":
+                continue
+            agg[r[i_type]] = agg.get(r[i_type], 0.0) + (r[i_t] or 0.0)
+        total = sum(agg.values())
+        print(f"{'op type':30s} {'self us':>12s} {'%':>6s}")
+        for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:15]:
+            print(f"{k:30s} {v:12.1f} {100 * v / total:6.1f}")
+        print(f"total device self time: {total / 1e3:.1f} ms")
     except Exception as e:  # tooling varies by version; keep the trace
         print(f"converter failed ({e}); raw trace at {xplane}",
               file=sys.stderr)

@@ -78,7 +78,23 @@ class ViewFusion:
 
         if dtype is None:
             dtype = getattr(_jnp, cfg.train.compute_dtype)
-        unet = UNet(config=cfg.unet, dtype=dtype, remat=cfg.train.remat)
+        # denoiser registry (reference factory: experiment.py:91-95)
+        if cfg.denoise_net == "unet":
+            unet = UNet(config=cfg.unet, dtype=dtype,
+                        remat=cfg.train.remat)
+        elif cfg.denoise_net == "dit":
+            from viewfusion_tpu.models.dit import DiT, DiTConfig
+
+            unet = DiT(
+                config=DiTConfig.from_dict(
+                    cfg.raw.get("model", {}).get("denoise_net_params", {})
+                ),
+                dtype=dtype,
+            )
+        else:
+            raise ValueError(
+                "Provided denoising function is not supported!"
+            )
         # The reference installs the *train* schedule unconditionally,
         # even for eval/inference (experiment.py:102).
         sched = DiffusionSchedule.create(

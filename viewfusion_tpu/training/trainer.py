@@ -143,7 +143,7 @@ class Experiment:
     def _init_model(self) -> None:
         """Model/optimizer/checkpoint init (experiment.py:90-156)."""
         cfg = self.config
-        if cfg.denoise_net != "unet":
+        if cfg.denoise_net not in ("unet", "dit"):
             raise ValueError("Provided denoising function is not supported!")
 
         self.tx = optax.adam(
