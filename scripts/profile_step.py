@@ -91,7 +91,10 @@ def main():
         return
     xplane = max(xplanes, key=os.path.getmtime)
     try:
-        from xprof.convert import raw_to_tool_data
+        try:
+            from xprof.convert import raw_to_tool_data
+        except ImportError:  # pre-rename package, same API
+            from tensorboard_plugin_profile.convert import raw_to_tool_data
 
         data, _ = raw_to_tool_data.xspace_to_tool_data(
             [xplane], "framework_op_stats", {}
@@ -110,6 +113,9 @@ def main():
                 continue
             agg[r[i_type]] = agg.get(r[i_type], 0.0) + (r[i_t] or 0.0)
         total = sum(agg.values())
+        if not agg or total <= 0:
+            print(f"no device self-time in trace (raw at {xplane})")
+            return
         print(f"{'op type':30s} {'self us':>12s} {'%':>6s}")
         for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:15]:
             print(f"{k:30s} {v:12.1f} {100 * v / total:6.1f}")

@@ -94,6 +94,26 @@ class UNetConfig:
 
 
 @dataclass(frozen=True)
+class DiTConfig:
+    """DiT denoiser hyper-params (TPU extension family, models/dit.py).
+    Shares image_size/in_channel/out_channel field names with UNetConfig
+    so the trainer can size inputs for either backbone."""
+
+    image_size: int = 64
+    in_channel: int = 6
+    out_channel: int = 6
+    patch_size: int = 4
+    hidden_size: int = 256
+    depth: int = 8
+    num_heads: int = 4
+    mlp_ratio: int = 4
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "DiTConfig":
+        return cls(**{k: v for k, v in d.items() if k in _field_names(cls)})
+
+
+@dataclass(frozen=True)
 class SplitConfig:
     """One dataset split (reference: configs/*.yaml data.params.{train,test})."""
 
@@ -202,6 +222,17 @@ class Config:
     denoise_net: str = "unet"
     relative: bool = False  # relative-conditioning variant (experiment.py:151)
     raw: Dict[str, Any] = field(default_factory=dict, compare=False)
+
+    @property
+    def denoiser(self):
+        """Typed params of the ACTIVE denoiser family: UNetConfig for
+        ``denoise_net: unet``, DiTConfig for ``dit`` (both expose
+        image_size/in_channel/out_channel)."""
+        if self.denoise_net == "dit":
+            return DiTConfig.from_dict(
+                self.raw.get("model", {}).get("denoise_net_params", {})
+            )
+        return self.unet
 
     @classmethod
     def from_dict(cls, raw: Dict[str, Any]) -> "Config":

@@ -17,36 +17,16 @@ attention through the same Pallas kernel as the UNet.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
-from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from viewfusion_tpu.config import DiTConfig
 from viewfusion_tpu.models.unet import positional_encoding
 from viewfusion_tpu.ops.attention import spatial_self_attention
 
 __all__ = ["DiT", "DiTConfig"]
-
-
-@dataclass(frozen=True)
-class DiTConfig:
-    image_size: int = 64
-    in_channel: int = 6
-    out_channel: int = 6
-    patch_size: int = 4
-    hidden_size: int = 256
-    depth: int = 8
-    num_heads: int = 4
-    mlp_ratio: int = 4
-
-    @classmethod
-    def from_dict(cls, d: Dict[str, Any]) -> "DiTConfig":
-        import dataclasses
-
-        names = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in names})
 
 
 def _sincos_2d(h: int, w: int, dim: int) -> np.ndarray:
@@ -125,6 +105,7 @@ class DiT(nn.Module):
 
     config: DiTConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize blocks (jax.checkpoint)
 
     @nn.compact
     def __call__(
@@ -136,7 +117,19 @@ class DiT(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.config
         p = cfg.patch_size
-        b, hh, ww, _ = x.shape
+        b, hh, ww, cin = x.shape
+        assert hh == cfg.image_size and ww == cfg.image_size, (
+            f"input {hh}x{ww} != configured image_size {cfg.image_size}"
+        )
+        assert cin == cfg.in_channel, (
+            f"input channels {cin} != configured in_channel "
+            f"{cfg.in_channel}"
+        )
+        assert hh % p == 0, f"image_size {hh} not divisible by patch_size {p}"
+        assert cfg.hidden_size % cfg.num_heads == 0, (
+            f"hidden_size {cfg.hidden_size} not divisible by num_heads "
+            f"{cfg.num_heads}"
+        )
         gh, gw = hh // p, ww // p
 
         # conditioning: WaveGrad encodings of gamma + angle -> MLP
@@ -162,13 +155,25 @@ class DiT(nn.Module):
         pos = jnp.asarray(_sincos_2d(gh, gw, cfg.hidden_size))
         tok = tok + pos[None].astype(self.dtype)
 
+        block_cls = (
+            nn.remat(_DiTBlock) if self.remat else _DiTBlock
+        )
         for i in range(cfg.depth):
-            tok = _DiTBlock(
+            tok = block_cls(
                 cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
                 name=f"block_{i}",
             )(tok, cond)
 
-        tok = nn.LayerNorm(dtype=self.dtype)(tok)
+        # adaLN-Zero final layer: cond-modulated non-affine LayerNorm
+        # (zero-init shift/scale) before the zero-init linear head.
+        mod = nn.Dense(
+            2 * cfg.hidden_size, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros, name="final_adaLN",
+        )(nn.silu(cond))
+        shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
+        tok = nn.LayerNorm(use_bias=False, use_scale=False,
+                           dtype=self.dtype)(tok)
+        tok = tok * (1 + scale) + shift
         tok = nn.Dense(
             p * p * cfg.out_channel, dtype=self.dtype,
             kernel_init=nn.initializers.zeros, name="unpatchify",

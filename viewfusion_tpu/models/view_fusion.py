@@ -67,7 +67,7 @@ class ViewFusion:
     ``params`` explicitly so they compose with jit/grad/shard_map.
     """
 
-    denoise_fn: UNet
+    denoise_fn: Any  # UNet or DiT flax module (same call contract)
     schedule: DiffusionSchedule
     weighting_train: bool = True
     weighting_inference: bool = True
@@ -80,17 +80,13 @@ class ViewFusion:
             dtype = getattr(_jnp, cfg.train.compute_dtype)
         # denoiser registry (reference factory: experiment.py:91-95)
         if cfg.denoise_net == "unet":
-            unet = UNet(config=cfg.unet, dtype=dtype,
+            unet = UNet(config=cfg.denoiser, dtype=dtype,
                         remat=cfg.train.remat)
         elif cfg.denoise_net == "dit":
-            from viewfusion_tpu.models.dit import DiT, DiTConfig
+            from viewfusion_tpu.models.dit import DiT
 
-            unet = DiT(
-                config=DiTConfig.from_dict(
-                    cfg.raw.get("model", {}).get("denoise_net_params", {})
-                ),
-                dtype=dtype,
-            )
+            unet = DiT(config=cfg.denoiser, dtype=dtype,
+                       remat=cfg.train.remat)
         else:
             raise ValueError(
                 "Provided denoising function is not supported!"

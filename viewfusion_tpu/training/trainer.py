@@ -142,9 +142,7 @@ class Experiment:
     # ------------------------------------------------------------------
     def _init_model(self) -> None:
         """Model/optimizer/checkpoint init (experiment.py:90-156)."""
-        cfg = self.config
-        if cfg.denoise_net not in ("unet", "dit"):
-            raise ValueError("Provided denoising function is not supported!")
+        cfg = self.config  # denoiser validated by ViewFusion.from_config
 
         self.tx = optax.adam(
             learning_rate=lr_schedule(
@@ -160,8 +158,8 @@ class Experiment:
             decay_rate=cfg.train.decay_rate, decay_it=cfg.train.decay_it,
         )
 
-        hw = cfg.unet.image_size
-        cc = cfg.unet.in_channel - 3
+        hw = cfg.denoiser.image_size
+        cc = cfg.denoiser.in_channel - 3
         cond0 = jnp.zeros((1, 1, hw, hw, cc), jnp.float32)
         y0 = jnp.zeros((1, hw, hw, 3), jnp.float32)
         params = jax.jit(self.model.init)(
@@ -685,6 +683,14 @@ class Experiment:
         out = self._generate_np(cond_views, view_counts, angles, key_salt=2)
 
         ret, weights = out.ret_arr, out.weight_arr
+        if weights is None:
+            # weight maps only exist with weighting_inference=True; the
+            # reference crashes here on no-weighting configs
+            # (experiment.py:620 on an empty list) — fail clearly instead.
+            raise ValueError(
+                "generate_gif needs weighting_inference=True (no weight "
+                "maps in the no-weighting ablation)"
+            )
         n_cond = cond_views.shape[1]
         frames = []
         for i in range(total):
