@@ -240,7 +240,9 @@ class Batcher:
 def prefetch(iterator, depth: int = 2):
     """Background-thread prefetch so host decode overlaps device compute
     (replaces torch pin_memory/persistent dataloader workers,
-    experiment.py:180-187)."""
+    experiment.py:180-187).  Worker exceptions propagate to the consumer
+    — an infinite (resampled) train stream must never end silently, or
+    the trainer's epoch loop would busy-spin forever on a masked error."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
 
@@ -248,8 +250,9 @@ def prefetch(iterator, depth: int = 2):
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(stop)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -257,6 +260,8 @@ def prefetch(iterator, depth: int = 2):
         item = q.get()
         if item is stop:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

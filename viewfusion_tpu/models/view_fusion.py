@@ -270,6 +270,7 @@ class ViewFusion:
         sample_idx: jnp.ndarray,   # (R,) packed row -> sample
         view_idx: jnp.ndarray,     # (R,) packed row -> view within sample
         noise: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
     ) -> jnp.ndarray:
         """Same objective as :meth:`loss` but the UNet runs on exactly the
         sum(view_count) valid rows, gathered into a static (R, ...) buffer
@@ -286,7 +287,7 @@ class ViewFusion:
         """
         sched = self.schedule
         b, n = y_cond.shape[:2]
-        k_t, k_u, k_noise, _ = jax.random.split(rng, 4)
+        k_t, k_u, k_noise, k_drop = jax.random.split(rng, 4)
 
         t = jax.random.randint(k_t, (b,), 1, sched.num_timesteps)
         gamma_t1 = jnp.take(sched.gammas, t - 1)
@@ -302,6 +303,8 @@ class ViewFusion:
 
         dense = self._denoise_views(
             params, y_cond, y_noisy, sample_gammas, angle,
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": k_drop},
             packed_idx=(sample_idx, view_idx),
         )
         mask = view_mask(view_count, n)
@@ -373,6 +376,7 @@ class ViewFusion:
         y_t: Optional[jnp.ndarray] = None,
         sample_num: int = 8,
         packed_idx=None,
+        capture_aux: bool = True,
     ) -> GenerateOutput:
         """Full T-step reverse chain as one ``lax.scan``
         (reference: Python loop, model/view_fusion.py:179-214).
@@ -384,7 +388,10 @@ class ViewFusion:
 
         ``packed_idx`` (static (sample_idx, view_idx) pair) switches the
         per-step UNet to packed rows — zero masked-view FLOPs across the
-        whole chain.
+        whole chain.  ``capture_aux=False`` skips the (frames, B, N, ...)
+        logit/weight capture buffers entirely — metric eval only reads
+        ``generated_samples``, and at B=112/64px those buffers are ~1 GB
+        of pure waste.
         """
         sched = self.schedule
         T = sched.num_timesteps
@@ -403,7 +410,8 @@ class ViewFusion:
 
         ret_arr = jnp.zeros((n_frames + 1, b, h, w, 3), jnp.float32)
         ret_arr = ret_arr.at[0].set(y_t)
-        if self.weighting_inference:
+        keep_aux = self.weighting_inference and capture_aux
+        if keep_aux:
             logit_arr = jnp.zeros((n_frames, b, n, h, w, 3), jnp.float32)
             weight_arr = jnp.zeros((n_frames, b, n, h, w, 3), jnp.float32)
         else:
@@ -424,7 +432,7 @@ class ViewFusion:
                 ret_arr = jax.lax.dynamic_update_index_in_dim(
                     ret_arr, y_t, frame_idx + 1, axis=0
                 )
-                if self.weighting_inference:
+                if keep_aux:
                     logit_arr = jax.lax.dynamic_update_index_in_dim(
                         logit_arr, logits, frame_idx, axis=0
                     )
@@ -451,7 +459,7 @@ class ViewFusion:
         # (B, frames, ...) (model/view_fusion.py:208-214).
         ret_arr = jnp.moveaxis(ret_arr, 0, 1)
         generated_samples = ret_arr[:, -1]
-        if self.weighting_inference:
+        if keep_aux:
             logit_arr = jnp.moveaxis(logit_arr, 0, 1)
             weight_arr = jnp.moveaxis(weight_arr, 0, 1)
             return GenerateOutput(y_t, ret_arr, logit_arr, weight_arr,

@@ -114,19 +114,37 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 def initialize_distributed() -> None:
     """Multi-host rendezvous (replaces init_process_group("nccl"),
-    utils/dist.py:21-23).  No-op when single-process or already
-    initialized."""
+    utils/dist.py:21-23).
+
+    Calls ``jax.distributed.initialize()`` whenever a multi-process
+    launch is detectable from standard cluster envs (JAX coordinator
+    vars, SLURM, torchrun-style WORLD_SIZE, or VF_NUM_PROCESSES).  Setup
+    failures propagate — a broken rendezvous must not silently degrade
+    into N independent single-host runs."""
     if num_hosts_env() <= 1:
         return
     try:
         jax.distributed.initialize()
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # initialized earlier in this process
+        raise
 
 
 def num_hosts_env() -> int:
-    return int(os.environ.get("VF_NUM_PROCESSES",
-                              os.environ.get("JAX_NUM_PROCESSES", "1")))
+    for var in ("VF_NUM_PROCESSES", "JAX_NUM_PROCESSES", "SLURM_NTASKS",
+                "WORLD_SIZE"):
+        val = os.environ.get(var)
+        if val is not None:
+            try:
+                return int(val)
+            except ValueError:
+                continue
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        return 2  # multi-process implied; exact count comes from JAX
+    return 1
 
 
 def host_id() -> int:

@@ -109,6 +109,15 @@ class Experiment:
         self.cond_key = "relative_cond" if self.relative else "cond"
         self.angle_key = "relative_angle" if self.relative else "angle"
 
+        if cfg.train.packed_views and jax.process_count() > 1:
+            # Packed row indices are host-local; the global gather/scatter
+            # for multi-host packing is not implemented yet — fail loudly
+            # rather than corrupt the loss.
+            raise NotImplementedError(
+                "tpu.packed_views is single-host only for now; disable it "
+                "for multi-host runs (dense masked mode is multi-host safe)"
+            )
+
         self._init_model()
         self._init_dataloaders()
 
@@ -132,10 +141,18 @@ class Experiment:
         view = max(1, cfg.train.mesh_view)
         data = cfg.train.mesh_data
         if data <= 0:
-            import math
-
-            data = math.gcd(cfg.data.batch_size, ndev // view)
+            # largest divisor of the global batch that fits the devices
+            limit = max(1, ndev // view)
+            data = max(
+                d for d in range(1, limit + 1)
+                if cfg.data.batch_size % d == 0
+            )
         used = data * view
+        if used < ndev and self.is_host0:
+            print(
+                f"mesh uses {used}/{ndev} devices (data={data} x "
+                f"view={view}); adjust batch_size or tpu.mesh_* to use all"
+            )
         return make_mesh(MeshSpec(data=data, view=view),
                          devices=jax.devices()[:used])
 
@@ -184,6 +201,15 @@ class Experiment:
         else:
             ckpt_name = "best_model_all.msgpack"
         load_dict: Dict[str, Any] = {}
+        if not self.checkpoint.exists(ckpt_name) and (
+            self.args.eval or self.args.inference
+        ) and not self.args.train:
+            # eval/inference on random weights is never intended; the
+            # reference fails on the missing file too (torch.load).
+            raise FileNotFoundError(
+                f"{ckpt_name} not found in {self.out_dir}; run training "
+                "first or point -s at a run with a best checkpoint"
+            )
         if self.checkpoint.exists(ckpt_name):
             try:
                 self.state, load_dict = self.checkpoint.load(
@@ -212,7 +238,8 @@ class Experiment:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._jit_generate = jax.jit(
             partial(self.model.generate,
-                    sample_num=self.config.train.sample_num)
+                    sample_num=self.config.train.sample_num),
+            static_argnames=("capture_aux",),
         )
         self._jit_generate_ddim = jax.jit(
             partial(self.model.generate_ddim,
@@ -238,7 +265,7 @@ class Experiment:
             )
         out = self._jit_generate(
             self.state.params, key, cond, vc, angle,
-            packed_idx=packed_idx,
+            packed_idx=packed_idx, capture_aux=False,
         )
         return out.generated_samples
 
@@ -282,9 +309,13 @@ class Experiment:
                 native=cfg.train.native_loader,
                 native_threads=cfg.train.native_threads,
             )
+            # collate only what the train step consumes — all_views alone
+            # is ~24x the transferred payload (B, 24, H, W, 3)
+            train_keys = ["target", self.cond_key, self.angle_key]
             self.train_loader = prefetch(
                 iter(Batcher(stream, self.local_batch_size,
-                             n_cond_views=self.max_views)),
+                             n_cond_views=self.max_views,
+                             keys=train_keys)),
                 depth=2,
             )
 
@@ -298,7 +329,9 @@ class Experiment:
                 resample=True, relative=self.relative,
             )
             it = iter(Batcher(stream, self.local_batch_size,
-                              n_cond_views=self.max_views))
+                              n_cond_views=self.max_views,
+                              keys=["target", self.cond_key,
+                                    self.angle_key]))
             for _ in range(self.epoch_size):
                 yield next(it)
 
@@ -384,25 +417,26 @@ class Experiment:
             for batch in self.train_loader:
                 self.it += 1
 
+                # Labels the last COMPLETED step: the rolling checkpoint
+                # is saved post-step below, so "it" in the sidecar always
+                # matches the number of optimizer updates in the state
+                # (the reference saves pre-step and silently loses one
+                # update per resume, experiment.py:241-254).
                 checkpoint_extra = {
                     "it": self.it,
                     "t": self.time_elapsed,
                     "run_id": self.run_id,
                     **{k: float(v) for k, v in self.best_metrics.items()},
                 }
-                if (
-                    cfg.checkpoint_every > 0
-                    and self.it % cfg.checkpoint_every == 0
-                    and self.it > 0
-                ):
-                    self.checkpoint.save("model.msgpack", self.state,
-                                         **checkpoint_extra)
                 self._checkpoint_extra = checkpoint_extra
 
                 if self._stop_requested:
                     print("SIGTERM received: checkpointing and exiting.")
-                    self.checkpoint.save("model.msgpack", self.state,
-                                         **checkpoint_extra)
+                    # state holds it-1 updates; label accordingly
+                    self.checkpoint.save(
+                        "model.msgpack", self.state,
+                        **{**checkpoint_extra, "it": self.it - 1},
+                    )
                     return
 
                 if (
@@ -446,6 +480,16 @@ class Experiment:
                 )
                 acc_loss.append(loss)  # async device scalar; no host sync
                 self.time_elapsed += time.perf_counter() - t0
+
+                if (
+                    cfg.checkpoint_every > 0
+                    and self.it % cfg.checkpoint_every == 0
+                    and self.it > 0
+                ):
+                    self.checkpoint.save(
+                        "model.msgpack", self.state,
+                        **{**checkpoint_extra, "t": self.time_elapsed},
+                    )
 
                 if cfg.log_every > 0 and self.it % cfg.log_every == 0:
                     mean_loss = float(
@@ -493,7 +537,11 @@ class Experiment:
             ssims.append(compute_ssim(gen, target))
             psnrs.append(compute_psnr(gen, target))
             if self.config.train.eval_dump_images and self.is_host0:
-                self._dump_eval_images(gen, target, len(ssims) - 1)
+                if jax.process_count() > 1:
+                    print("eval_dump_images skipped: arrays span "
+                          "non-addressable devices on multi-host")
+                else:
+                    self._dump_eval_images(gen, target, len(ssims) - 1)
 
         # Global means: arrays are mesh-global, so these reductions are
         # XLA collectives — replaces barrier+reduce_dict
