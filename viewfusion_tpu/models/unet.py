@@ -22,7 +22,7 @@ TPU-native choices (not a port):
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+
 
 import jax
 import jax.numpy as jnp

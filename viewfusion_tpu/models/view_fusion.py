@@ -28,7 +28,7 @@ y_cond (B, N_max, H, W, Cc), view_count (B,), angle (B,).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from viewfusion_tpu.config import Config
 from viewfusion_tpu.models.unet import UNet
-from viewfusion_tpu.ops.schedules import DiffusionSchedule, extract
+from viewfusion_tpu.ops.schedules import DiffusionSchedule
 
 __all__ = ["ViewFusion", "GenerateOutput"]
 
