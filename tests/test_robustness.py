@@ -48,3 +48,76 @@ def test_eval_missing_checkpoint_raises(tmp_path, tiny_config):
         yaml.dump(tiny_config.raw, f)
     with pytest.raises(FileNotFoundError, match="best_model_all"):
         Experiment(ExperimentArgs(src=str(src), eval=True))
+
+
+def test_sigterm_checkpoints_and_exits(tmp_path, tiny_config):
+    """A stop request makes the train loop checkpoint and return
+    (preemption safety)."""
+    import copy
+    import os
+
+    import yaml
+
+    from tests.conftest import TINY_CONFIG
+    from viewfusion_tpu.data.synthetic import make_synthetic_shards
+    from viewfusion_tpu.training.trainer import Experiment, ExperimentArgs
+
+    data_dir = str(tmp_path / "data")
+    make_synthetic_shards(data_dir, "train", num_objects=4, image_size=8)
+    make_synthetic_shards(data_dir, "test", num_objects=4, image_size=8)
+    raw = copy.deepcopy(TINY_CONFIG)
+    for split in ("train", "test"):
+        raw["data"]["params"][split]["params"]["path"] = data_dir
+    raw["data"]["params"]["batch_size"] = 4
+    raw["model"]["validate_every"] = 0
+    cfg_path = str(tmp_path / "c.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(raw, f)
+
+    exp = Experiment(ExperimentArgs(config=cfg_path, train=True),
+                     log_root=str(tmp_path / "logs"))
+    exp._stop_requested = False
+
+    # request stop after 3 completed steps via the checkpoint hook
+    orig_prep = exp._prep_batch
+
+    def prep(batch, vc, packed=False):
+        if exp.it >= 3:
+            exp._stop_requested = True
+        return orig_prep(batch, vc, packed)
+
+    exp._prep_batch = prep
+    exp.train()
+    assert 3 <= exp.it <= 5
+    _, extra = exp.checkpoint.load("model.msgpack", exp.state)
+    assert extra["it"] == exp.it - 1  # labels last COMPLETED step
+
+
+def test_packed_dropout_active(rng):
+    """loss_packed must apply dropout when configured (review fix)."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from tests.conftest import TINY_CONFIG
+    from viewfusion_tpu.config import Config
+    from viewfusion_tpu.models.view_fusion import ViewFusion
+
+    raw = copy.deepcopy(TINY_CONFIG)
+    raw["model"]["denoise_net_params"]["dropout"] = 0.5
+    model = ViewFusion.from_config(Config.from_dict(raw))
+    b, n, hw = 2, 3, 8
+    y0 = jnp.asarray(rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32))
+    cond = jnp.asarray(rng.uniform(0, 1, (b, n, hw, hw, 3)).astype(
+        np.float32))
+    vc = jnp.asarray([2, 3])
+    si = jnp.asarray(np.array([0, 0, 1, 1, 1], np.int32))
+    vi = jnp.asarray(np.array([0, 1, 0, 1, 2], np.int32))
+    angle = jnp.zeros((b,))
+    params = model.init(jax.random.PRNGKey(0), cond, y0)
+
+    args = (params, jax.random.PRNGKey(1), y0, cond, vc, angle, si, vi)
+    l_det = model.loss_packed(*args, deterministic=True)
+    l_drop = model.loss_packed(*args, deterministic=False)
+    assert float(l_det) != float(l_drop)
