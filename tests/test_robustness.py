@@ -81,10 +81,10 @@ def test_sigterm_checkpoints_and_exits(tmp_path, tiny_config):
     # request stop after 3 completed steps via the checkpoint hook
     orig_prep = exp._prep_batch
 
-    def prep(batch, vc, packed=False):
+    def prep(batch, vc, packed_idx=None):
         if exp.it >= 3:
             exp._stop_requested = True
-        return orig_prep(batch, vc, packed)
+        return orig_prep(batch, vc, packed_idx)
 
     exp._prep_batch = prep
     exp.train()
@@ -121,3 +121,33 @@ def test_packed_dropout_active(rng):
     l_det = model.loss_packed(*args, deterministic=True)
     l_drop = model.loss_packed(*args, deterministic=False)
     assert float(l_det) != float(l_drop)
+
+
+def test_global_packed_counts_deterministic(tiny_config):
+    """Every host must derive identical packed indices for the same step
+    (multi-host consistency is by deterministic construction)."""
+    import dataclasses
+
+    from viewfusion_tpu.training.trainer import Experiment
+
+    class Fake:
+        config = tiny_config
+        max_views = tiny_config.data.max_views
+        local_batch_size = 8
+        _packed_indices = staticmethod(Experiment._packed_indices)
+
+    a = Experiment._global_packed_counts(Fake(), salt=42)
+    b = Experiment._global_packed_counts(Fake(), salt=42)
+    c = Experiment._global_packed_counts(Fake(), salt=43)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[2], b[2])
+    assert not np.array_equal(a[0], c[0])  # varies per step
+    # static row budget
+    assert a[1].shape == c[1].shape
+    # indices consistent with counts
+    counts = a[0]
+    si, vi = a[1], a[2]
+    for s in range(len(counts)):
+        assert np.sum(si == s) == counts[s]
+    assert np.all(vi < tiny_config.data.max_views)

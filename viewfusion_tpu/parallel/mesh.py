@@ -167,7 +167,14 @@ def make_global_batch(local_batch: Dict[str, np.ndarray],
         if not isinstance(v, np.ndarray):
             continue
         sharding = batch_sharding(mesh, k)
-        global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+        if sharding.is_fully_replicated:
+            # replicated arrays (e.g. packed row indices) are identical
+            # on every host: local == global
+            global_shape = v.shape
+        else:
+            global_shape = (
+                v.shape[0] * jax.process_count(),
+            ) + v.shape[1:]
         out[k] = jax.make_array_from_process_local_data(
             sharding, v, global_shape
         )

@@ -109,14 +109,6 @@ class Experiment:
         self.cond_key = "relative_cond" if self.relative else "cond"
         self.angle_key = "relative_angle" if self.relative else "angle"
 
-        if cfg.train.packed_views and jax.process_count() > 1:
-            # Packed row indices are host-local; the global gather/scatter
-            # for multi-host packing is not implemented yet — fail loudly
-            # rather than corrupt the loss.
-            raise NotImplementedError(
-                "tpu.packed_views is single-host only for now; disable it "
-                "for multi-host runs (dense masked mode is multi-host safe)"
-            )
 
         self._init_model()
         self._init_dataloaders()
@@ -350,17 +342,15 @@ class Experiment:
     # ------------------------------------------------------------------
     def _prep_batch(self, batch: Dict[str, np.ndarray],
                     view_count: np.ndarray,
-                    packed: bool = False) -> Dict[str, Any]:
+                    packed_idx=None) -> Dict[str, Any]:
         prepped = {
             "target": batch["target"],
             self.cond_key: batch[self.cond_key],
             self.angle_key: np.asarray(batch[self.angle_key]).reshape(-1),
             "view_count": view_count.astype(np.int32),
         }
-        if packed:
-            prepped["sample_idx"], prepped["view_idx"] = (
-                self._packed_indices(view_count)
-            )
+        if packed_idx is not None:
+            prepped["sample_idx"], prepped["view_idx"] = packed_idx
         return make_global_batch(prepped, self.mesh)
 
     def _sample_view_count(self, n: int) -> np.ndarray:
@@ -375,6 +365,27 @@ class Experiment:
         counts = np.resize(np.arange(1, self.max_views + 1), n)
         self.rng.shuffle(counts)
         return counts
+
+    def _global_packed_counts(self, salt: int):
+        """Packed mode, multi-host-safe: every process derives the SAME
+        global stratified count vector from (seed, salt), so the packed
+        row indices can be replicated across hosts while each host's
+        batch slice carries its own view_count segment.
+
+        Returns (local_counts (B_local,), sample_idx, view_idx) with the
+        index arrays enumerating the GLOBAL batch's valid rows."""
+        nproc = jax.process_count()
+        gb = self.local_batch_size * nproc
+        rng = np.random.default_rng(
+            [self.config.train.seed, 0x9E37, salt]
+        )
+        counts = np.resize(np.arange(1, self.max_views + 1), gb)
+        rng.shuffle(counts)
+        si, vi = self._packed_indices(counts)
+        h = jax.process_index()
+        local = counts[h * self.local_batch_size:
+                       (h + 1) * self.local_batch_size]
+        return local, si, vi
 
     @staticmethod
     def _packed_indices(view_count: np.ndarray):
@@ -465,13 +476,16 @@ class Experiment:
                           f"{self.out_dir}/profile")
 
                 t0 = time.perf_counter()
-                packed = cfg.packed_views
-                view_count = (
-                    self._sample_view_count_stratified
-                    if packed else self._sample_view_count
-                )(batch["target"].shape[0])
-                device_batch = self._prep_batch(batch, view_count,
-                                                packed=packed)
+                if cfg.packed_views:
+                    view_count, si, vi = self._global_packed_counts(self.it)
+                    device_batch = self._prep_batch(
+                        batch, view_count, packed_idx=(si, vi)
+                    )
+                else:
+                    view_count = self._sample_view_count(
+                        batch["target"].shape[0]
+                    )
+                    device_batch = self._prep_batch(batch, view_count)
                 step_rng = jax.random.fold_in(
                     jax.random.PRNGKey(self.config.train.seed), self.it
                 )
@@ -523,12 +537,17 @@ class Experiment:
         ssims, psnrs = [], []
         packed = self.config.train.packed_views
         for val_batch in self.val_loader():
-            view_count = (
-                self._sample_view_count_stratified
-                if packed else self._sample_view_count
-            )(val_batch["target"].shape[0])
-            device_batch = self._prep_batch(val_batch, view_count,
-                                            packed=packed)
+            if packed:
+                view_count, si, vi = self._global_packed_counts(
+                    1_000_000_000 + len(ssims)
+                )
+                device_batch = self._prep_batch(val_batch, view_count,
+                                                packed_idx=(si, vi))
+            else:
+                view_count = self._sample_view_count(
+                    val_batch["target"].shape[0]
+                )
+                device_batch = self._prep_batch(val_batch, view_count)
             key = jax.random.fold_in(
                 jax.random.PRNGKey(self.config.train.seed + 17), len(ssims)
             )
