@@ -1,10 +1,11 @@
-"""Serving tests: dynamic batching, HTTP endpoints, input validation."""
+"""Serving tests: dynamic batching, real HTTP handler, validation."""
 
 import base64
 import copy
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -38,18 +39,26 @@ def trained_run(tmp_path_factory):
     return exp.out_dir
 
 
-def test_service_submit_and_batching(trained_run):
+@pytest.fixture(scope="module")
+def service(trained_run):
     from viewfusion_tpu.serving import ViewFusionService
 
-    svc = ViewFusionService(trained_run, batch_size=4, max_wait_ms=20,
-                            default_steps=4)
+    return ViewFusionService(trained_run, batch_size=4, max_wait_ms=20,
+                             default_steps=4)
+
+
+def test_service_submit_and_batching(service):
+    from viewfusion_tpu.serving import ClientError
+
     rng = np.random.default_rng(0)
     cond = rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32)
 
     # concurrent requests get coalesced into one device batch
     results = [None] * 3
+
     def call(i):
-        results[i] = svc.submit(cond[: 1 + i % 2], angle=0.5 * i)
+        results[i] = service.submit(cond[: 1 + i % 2], angle=0.5 * i)
+
     threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
     for t in threads:
         t.start()
@@ -60,79 +69,50 @@ def test_service_submit_and_batching(trained_run):
         assert np.all(np.isfinite(r))
         assert 0.0 <= r.min() and r.max() <= 1.0
 
-    with pytest.raises(ValueError, match="N, H, W, 3"):
-        svc.submit(np.zeros((8, 8, 3), np.float32), 0.0)
-    with pytest.raises(ValueError, match="8x8"):
-        svc.submit(np.zeros((1, 16, 16, 3), np.float32), 0.0)
-    with pytest.raises(ValueError, match="at most"):
-        svc.submit(np.zeros((25, 8, 8, 3), np.float32), 0.0)
+    with pytest.raises(ClientError, match="N, H, W, 3"):
+        service.submit(np.zeros((8, 8, 3), np.float32), 0.0)
+    with pytest.raises(ClientError, match="8x8"):
+        service.submit(np.zeros((1, 16, 16, 3), np.float32), 0.0)
+    with pytest.raises(ClientError, match="at most"):
+        service.submit(np.zeros((25, 8, 8, 3), np.float32), 0.0)
+    with pytest.raises(ClientError, match="at least one"):
+        service.submit(np.zeros((0, 8, 8, 3), np.float32), 0.0)
+    with pytest.raises(ClientError, match="steps"):
+        service.submit(cond[:1], 0.0, steps=0)
+    with pytest.raises(ClientError, match="steps"):
+        service.submit(cond[:1], 0.0, steps=10**9)
+    with pytest.raises(ClientError, match="angle"):
+        service.submit(cond[:1], angle=None)
 
 
-def test_http_endpoints(trained_run):
-    from http.server import ThreadingHTTPServer
+@pytest.fixture(scope="module")
+def http_server(service):
+    from viewfusion_tpu.serving import make_server
 
-    import viewfusion_tpu.serving as serving_mod
-
-    # build the server on an ephemeral port without blocking
-    svc = serving_mod.ViewFusionService(trained_run, batch_size=2,
-                                        max_wait_ms=5, default_steps=4)
-
-    # reuse serve()'s handler by invoking it in a thread on port 0
-    held = {}
-
-    def run():
-        import http.server
-
-        class H(http.server.BaseHTTPRequestHandler):
-            def log_message(self, *a):
-                pass
-
-            def _send(self, code, obj):
-                body = json.dumps(obj).encode()
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def do_GET(self):
-                self._send(200, {"status": "ok"})
-
-            def do_POST(self):
-                length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length))
-                cond = serving_mod._decode_views(payload, 8)
-                img = svc.submit(cond, payload["angle"],
-                                 payload.get("steps"))
-                from PIL import Image
-
-                buf = io.BytesIO()
-                Image.fromarray((img * 255).astype(np.uint8)).save(
-                    buf, format="PNG")
-                self._send(200, {
-                    "image": base64.b64encode(buf.getvalue()).decode()})
-
-        httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
-        held["port"] = httpd.server_address[1]
-        held["httpd"] = httpd
-        httpd.serve_forever()
-
-    t = threading.Thread(target=run, daemon=True)
+    httpd = make_server(service, host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    import time
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
 
-    for _ in range(100):
-        if "port" in held:
-            break
-        time.sleep(0.05)
 
-    # health
-    with urllib.request.urlopen(
-        f"http://127.0.0.1:{held['port']}/healthz"
-    ) as resp:
-        assert json.loads(resp.read())["status"] == "ok"
+def _post(url, payload: dict):
+    req = urllib.request.Request(
+        f"{url}/generate", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
 
-    # generate with a base64 PNG view
+
+def test_http_real_handler(http_server):
+    url = http_server
+    with urllib.request.urlopen(f"{url}/healthz") as resp:
+        health = json.loads(resp.read())
+    assert health["status"] == "ok"
+    assert health["image_size"] == 8
+    assert health["max_steps"] == 8
+
     from PIL import Image
 
     buf = io.BytesIO()
@@ -140,17 +120,66 @@ def test_http_endpoints(trained_run):
         (np.random.default_rng(1).uniform(0, 1, (8, 8, 3)) * 255).astype(
             np.uint8)
     ).save(buf, format="PNG")
-    payload = json.dumps({
-        "views": [base64.b64encode(buf.getvalue()).decode()],
-        "angle": 1.0,
-        "steps": 4,
-    }).encode()
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{held['port']}/generate", data=payload,
-        headers={"Content-Type": "application/json"},
-    )
-    with urllib.request.urlopen(req) as resp:
-        out = json.loads(resp.read())
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    status, out = _post(url, {"views": [b64], "angle": 1.0, "steps": 4})
+    assert status == 200
     img = Image.open(io.BytesIO(base64.b64decode(out["image"])))
     assert img.size == (8, 8)
-    held["httpd"].shutdown()
+
+    # array-valued views also work
+    status, out = _post(url, {
+        "views": [np.zeros((8, 8, 3)).tolist()], "angle": 0.0, "steps": 2,
+    })
+    assert status == 200
+
+
+@pytest.mark.parametrize(
+    "payload,match",
+    [
+        ({"angle": 1.0}, "views"),                       # missing views
+        ({"views": [], "angle": 1.0}, "non-empty"),      # empty views
+        ({"views": ["bm90YXBuZw=="], "angle": 1.0}, "undecodable"),
+        ({"views": [[[0, 0, 0]]], "angle": None}, "angle"),
+        ({"views": [123], "angle": 1.0}, "invalid view"),
+    ],
+)
+def test_http_client_errors_are_400(http_server, payload, match):
+    # make the inner arrays valid enough to reach the failing check
+    if payload.get("views") == [[[0, 0, 0]]]:
+        payload["views"] = [np.zeros((8, 8, 3)).tolist()]
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(http_server, payload)
+    assert exc.value.code == 400
+    body = json.loads(exc.value.read())
+    assert match.lower() in body["error"].lower()
+
+
+def test_http_not_found_and_non_dict(http_server):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(http_server, {"angle": 1.0})
+    assert exc.value.code == 400
+    req = urllib.request.Request(
+        f"{http_server}/nope", data=b"{}",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 404
+    req = urllib.request.Request(
+        f"{http_server}/generate", data=b"[1,2]",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 400
+
+
+def test_abandoned_requests_skipped(service):
+    """A request whose waiter timed out must not consume device work."""
+    cond = np.zeros((1, 8, 8, 3), np.float32)
+    with pytest.raises(TimeoutError):
+        service.submit(cond, 0.0, timeout=0.0)
+    # the queue drains without the abandoned request blocking new ones
+    out = service.submit(cond, 0.0)
+    assert out.shape == (8, 8, 3)

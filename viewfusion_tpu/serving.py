@@ -7,10 +7,11 @@ no extra deps):
   * requests carry N conditioning views (PNG bytes or [0,1] arrays) and
     a target azimuth; responses carry the generated view;
   * a background worker coalesces queued requests into fixed-size
-    batches (padding with replicas of the last request) so the TPU sees
-    ONE static shape — no per-request recompiles;
+    batches — one batch per step count — so the TPU sees a static shape
+    per steps value and never recompiles per request;
   * sampling uses the DDIM fast path by default (92 views/s on a v5e at
-    50 steps) with the full ancestral chain available per-request.
+    50 steps); timed-out/abandoned requests are skipped, client input
+    errors map to 400s, and body size / step counts are bounded.
 
 Usage:
     python -m viewfusion_tpu.serving -s logs/<run-dir> --port 8000
@@ -23,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import base64
+import binascii
 import io
 import json
 import queue
@@ -34,7 +36,13 @@ from typing import List, Optional
 
 import numpy as np
 
-__all__ = ["ViewFusionService", "serve"]
+__all__ = ["ViewFusionService", "make_server", "serve"]
+
+MAX_BODY_BYTES = 64 * 1024 * 1024  # generous: 24 views of raw float lists
+
+
+class ClientError(ValueError):
+    """Invalid client input -> HTTP 400."""
 
 
 @dataclass
@@ -42,18 +50,28 @@ class _Request:
     cond: np.ndarray          # (N, H, W, 3) float32 [0,1]
     angle: float
     steps: int
+    deadline: float
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[str] = None
 
+    @property
+    def abandoned(self) -> bool:
+        return time.monotonic() > self.deadline
+
 
 class ViewFusionService:
     """Loads a run dir (config + best checkpoint) and serves batched
-    generation with a static-shape device program."""
+    generation with a static-shape device program.
+
+    ``max_views`` bounds the conditioning buffer (default: the training
+    config's max_views) — padding to the full 24 stored views would
+    waste up to 24x UNet FLOPs on typical 1-6 view requests."""
 
     def __init__(self, run_dir: str, batch_size: int = 8,
                  max_wait_ms: float = 30.0, default_steps: int = 50,
-                 request_timeout: float = 900.0):
+                 request_timeout: float = 900.0,
+                 max_views: Optional[int] = None):
         import jax
         import jax.numpy as jnp
 
@@ -65,12 +83,13 @@ class ViewFusionService:
         enable_compilation_cache()
         self.config = load_config(f"{run_dir}/config.yaml")
         self.model = ViewFusion.from_config(self.config)
-        self.n_max = self.config.data.total_views
+        self.n_max = max_views or self.config.data.max_views
         self.image_size = self.config.denoiser.image_size
         self.batch_size = batch_size
         self.max_wait_ms = max_wait_ms
         self.default_steps = default_steps
         self.request_timeout = request_timeout
+        self.max_steps = self.model.schedule.num_timesteps
 
         # params-only load (converted or trained checkpoints both work)
         ckpt = Checkpoint(run_dir)
@@ -101,23 +120,40 @@ class ViewFusionService:
     def submit(self, cond: np.ndarray, angle: float,
                steps: Optional[int] = None,
                timeout: Optional[float] = None) -> np.ndarray:
-        """Blocking generate; thread-safe."""
+        """Blocking generate; thread-safe.  Raises ClientError on invalid
+        input (HTTP layer maps it to 400)."""
+        cond = np.asarray(cond)
         if cond.ndim != 4 or cond.shape[-1] != 3:
-            raise ValueError(f"cond must be (N, H, W, 3), got {cond.shape}")
+            raise ClientError(
+                f"cond must be (N, H, W, 3), got {cond.shape}"
+            )
+        if cond.shape[0] < 1:
+            raise ClientError("at least one conditioning view required")
         if cond.shape[0] > self.n_max:
-            raise ValueError(
+            raise ClientError(
                 f"at most {self.n_max} conditioning views supported"
             )
         if cond.shape[1] != self.image_size or \
                 cond.shape[2] != self.image_size:
-            raise ValueError(
+            raise ClientError(
                 f"views must be {self.image_size}x{self.image_size}"
             )
-        req = _Request(cond=cond.astype(np.float32), angle=float(angle),
-                       steps=int(steps or self.default_steps))
+        steps = self.default_steps if steps is None else int(steps)
+        if not 1 <= steps <= self.max_steps:
+            raise ClientError(
+                f"steps must be in [1, {self.max_steps}], got {steps}"
+            )
+        try:
+            angle = float(angle)
+        except (TypeError, ValueError):
+            raise ClientError(f"angle must be a number, got {angle!r}")
+
+        wait = self.request_timeout if timeout is None else timeout
+        req = _Request(cond=cond.astype(np.float32), angle=angle,
+                       steps=steps, deadline=time.monotonic() + wait)
         self._queue.put(req)
         # first request pays jit compile (minutes on a cold cache)
-        if not req.event.wait(timeout or self.request_timeout):
+        if not req.event.wait(wait):
             raise TimeoutError("generation timed out")
         if req.error:
             raise RuntimeError(req.error)
@@ -125,25 +161,36 @@ class ViewFusionService:
 
     # ------------------------------------------------------------------
     def _run(self) -> None:
+        pending: "queue.Queue[_Request]" = self._queue
         while True:
-            batch = [self._queue.get()]
+            first = pending.get()
+            if first.abandoned:
+                continue
+            # collect up to batch_size requests WITH THE SAME step count;
+            # different step counts are re-queued for their own batch (a
+            # novel count means a separate compile + device pass anyway)
+            batch = [first]
+            requeue: List[_Request] = []
             deadline = time.perf_counter() + self.max_wait_ms / 1e3
             while len(batch) < self.batch_size:
                 remaining = deadline - time.perf_counter()
                 if remaining <= 0:
                     break
                 try:
-                    batch.append(self._queue.get(timeout=remaining))
+                    r = pending.get(timeout=remaining)
                 except queue.Empty:
                     break
-            # group by step count so one device call serves the batch
-            by_steps = {}
-            for r in batch:
-                by_steps.setdefault(r.steps, []).append(r)
-            for steps, reqs in by_steps.items():
-                self._generate(reqs, steps)
+                if r.abandoned:
+                    continue
+                (batch if r.steps == first.steps else requeue).append(r)
+            for r in requeue:
+                pending.put(r)
+            self._generate(batch, first.steps)
 
     def _generate(self, reqs: List[_Request], steps: int) -> None:
+        reqs = [r for r in reqs if not r.abandoned]
+        if not reqs:
+            return
         jnp = self._jnp
         b = self.batch_size
         hw = self.image_size
@@ -174,25 +221,42 @@ class ViewFusionService:
                 r.event.set()
 
 
-def _decode_views(payload: dict, image_size: int) -> np.ndarray:
+def _decode_views(payload: dict) -> np.ndarray:
     from PIL import Image
 
-    views = []
-    for item in payload["views"]:
+    views = payload.get("views")
+    if not isinstance(views, list) or not views:
+        raise ClientError('"views" must be a non-empty list')
+    decoded = []
+    for item in views:
         if isinstance(item, str):  # base64 PNG
-            img = Image.open(io.BytesIO(base64.b64decode(item)))
-            views.append(
-                np.asarray(img.convert("RGB"), np.float32) / 255.0
-            )
+            try:
+                img = Image.open(io.BytesIO(base64.b64decode(item)))
+                decoded.append(
+                    np.asarray(img.convert("RGB"), np.float32) / 255.0
+                )
+            except (binascii.Error, OSError) as e:
+                raise ClientError(f"undecodable view image: {e}")
         else:  # nested lists
-            views.append(np.asarray(item, np.float32))
-    return np.stack(views)
+            try:
+                arr = np.asarray(item, np.float32)
+            except (TypeError, ValueError) as e:
+                raise ClientError(f"invalid view array: {e}")
+            if arr.ndim != 3:
+                raise ClientError(
+                    f"invalid view array: expected (H, W, 3), "
+                    f"got shape {arr.shape}"
+                )
+            decoded.append(arr)
+    try:
+        return np.stack(decoded)
+    except ValueError as e:
+        raise ClientError(f"views have inconsistent shapes: {e}")
 
 
-def serve(run_dir: str, host: str = "0.0.0.0", port: int = 8000,
-          batch_size: int = 8, default_steps: int = 50) -> None:
-    service = ViewFusionService(run_dir, batch_size=batch_size,
-                                default_steps=default_steps)
+def make_server(service: ViewFusionService, host: str = "0.0.0.0",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build the HTTP server (port 0 = ephemeral, for tests)."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -210,7 +274,8 @@ def serve(run_dir: str, host: str = "0.0.0.0", port: int = 8000,
             if self.path == "/healthz":
                 self._send(200, {"status": "ok",
                                  "image_size": service.image_size,
-                                 "max_views": service.n_max})
+                                 "max_views": service.n_max,
+                                 "max_steps": service.max_steps})
             else:
                 self._send(404, {"error": "not found"})
 
@@ -220,8 +285,15 @@ def serve(run_dir: str, host: str = "0.0.0.0", port: int = 8000,
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES:
+                    self._send(413, {"error": "request body too large"})
+                    return
                 payload = json.loads(self.rfile.read(length))
-                cond = _decode_views(payload, service.image_size)
+                if not isinstance(payload, dict):
+                    raise ClientError("body must be a JSON object")
+                if "angle" not in payload:
+                    raise ClientError('"angle" is required')
+                cond = _decode_views(payload)
                 img = service.submit(
                     cond, payload["angle"], payload.get("steps")
                 )
@@ -234,13 +306,25 @@ def serve(run_dir: str, host: str = "0.0.0.0", port: int = 8000,
                 self._send(200, {
                     "image": base64.b64encode(buf.getvalue()).decode()
                 })
-            except (KeyError, ValueError) as e:
+            except (ClientError, KeyError, TypeError,
+                    json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})
+            except TimeoutError as e:
+                self._send(503, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 self._send(500, {"error": str(e)})
 
-    httpd = ThreadingHTTPServer((host, port), Handler)
-    print(f"serving {run_dir} on {host}:{port}")
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(run_dir: str, host: str = "0.0.0.0", port: int = 8000,
+          batch_size: int = 8, default_steps: int = 50,
+          max_views: Optional[int] = None) -> None:
+    service = ViewFusionService(run_dir, batch_size=batch_size,
+                                default_steps=default_steps,
+                                max_views=max_views)
+    httpd = make_server(service, host, port)
+    print(f"serving {run_dir} on {host}:{httpd.server_address[1]}")
     httpd.serve_forever()
 
 
@@ -251,8 +335,10 @@ def main(argv=None) -> None:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--max-views", type=int, default=None)
     args = p.parse_args(argv)
-    serve(args.src, args.host, args.port, args.batch_size, args.steps)
+    serve(args.src, args.host, args.port, args.batch_size, args.steps,
+          args.max_views)
 
 
 if __name__ == "__main__":
