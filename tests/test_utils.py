@@ -81,8 +81,11 @@ def test_checkpoint_params_only_restore(tmp_path):
     np.testing.assert_array_equal(state["params"]["w"], params["w"])
     assert extra == {"it": 7, "ssim": 0.5}
 
-    # full-template load must fail so the trainer falls back
-    with pytest.raises((KeyError, ValueError)):
-        ckpt.load("best_model_all.msgpack",
-                  {"params": {"w": np.zeros(4, np.float32)},
-                   "opt_state": {"m": np.zeros(4, np.float32)}})
+    # fields missing from the checkpoint keep the template's fresh
+    # values (schema evolution / params-only conversions)
+    fresh_m = np.full(4, 7.0, np.float32)
+    state2, _ = ckpt.load("best_model_all.msgpack",
+                          {"params": {"w": np.zeros(4, np.float32)},
+                           "opt_state": {"m": fresh_m}})
+    np.testing.assert_array_equal(state2["params"]["w"], params["w"])
+    np.testing.assert_array_equal(state2["opt_state"]["m"], fresh_m)

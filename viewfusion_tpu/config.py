@@ -198,6 +198,10 @@ class TrainConfig:
     sampler: str = "ddpm"
     ddim_steps: int = 50
     ddim_eta: float = 0.0
+    # Exponential moving average of params (standard diffusion practice;
+    # the reference has none). 0 = off; typical 0.9999. Eval/inference
+    # use the EMA weights when enabled.
+    ema_decay: float = 0.0
     # Dump generated + ground-truth images during eval into
     # <run>/images-<it>/{generated,target}/ for the offline metric CLI
     # (utils/compute_metrics.py) — the reference's eval image folders

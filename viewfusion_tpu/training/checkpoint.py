@@ -63,11 +63,24 @@ class Checkpoint:
 
     def load(self, filename: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
         """Restore a checkpoint into ``template``'s pytree structure;
-        returns (state, extra_scalars)."""
+        returns (state, extra_scalars).
+
+        Top-level fields missing from the checkpoint keep the template's
+        values (with a warning) so params-only checkpoints (torch
+        conversions) and schema evolution (e.g. the later-added EMA
+        field) restore cleanly instead of crashing."""
         path = self._path(filename)
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
-        state = serialization.from_state_dict(template, payload["state"])
+        saved = payload["state"]
+        tpl_sd = serialization.to_state_dict(template)
+        if isinstance(tpl_sd, dict) and isinstance(saved, dict):
+            missing = sorted(set(tpl_sd) - set(saved))
+            if missing:
+                print(f"Checkpoint {filename} lacks {missing}; keeping "
+                      "fresh values for them.")
+            saved = {k: saved.get(k, tpl_sd[k]) for k in tpl_sd}
+        state = serialization.from_state_dict(template, saved)
         extra = json.loads(payload["extra"])
         return state, extra
 

@@ -57,6 +57,8 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # EMA shadow params; empty dict when tpu.ema_decay == 0
+    ema_params: Any = struct.field(default_factory=dict)
 
 
 @dataclass
@@ -178,6 +180,8 @@ class Experiment:
             params=params,
             opt_state=jax.jit(self.tx.init)(params),
             step=jnp.zeros((), jnp.int32),
+            ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                        if cfg.train.ema_decay > 0 else {}),
         )
 
         self.checkpoint = Checkpoint(
@@ -239,6 +243,13 @@ class Experiment:
                     eta=self.config.train.ddim_eta)
         )
 
+    @property
+    def _infer_params(self):
+        """Weights used for generation: EMA shadow when enabled."""
+        if self.config.train.ema_decay > 0 and self.state.ema_params:
+            return self.state.ema_params
+        return self.state.params
+
     def _eval_samples(self, key, device_batch):
         """Eval-time generation: reference-parity ancestral chain by
         default; fast DDIM when tpu.sampler == "ddim"; packed per-step
@@ -252,11 +263,11 @@ class Experiment:
                           device_batch["view_idx"])
         if self.config.train.sampler == "ddim":
             return self._jit_generate_ddim(
-                self.state.params, key, cond, vc, angle,
+                self._infer_params, key, cond, vc, angle,
                 packed_idx=packed_idx,
             )
         out = self._jit_generate(
-            self.state.params, key, cond, vc, angle,
+            self._infer_params, key, cond, vc, angle,
             packed_idx=packed_idx, capture_aux=False,
         )
         return out.generated_samples
@@ -281,7 +292,15 @@ class Experiment:
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        decay = self.config.train.ema_decay
+        ema = (
+            jax.tree_util.tree_map(
+                lambda e, p: decay * e + (1.0 - decay) * p,
+                state.ema_params, params,
+            )
+            if decay > 0 else state.ema_params
+        )
+        return TrainState(params, opt_state, state.step + 1, ema), loss
 
     # ------------------------------------------------------------------
     def _init_dataloaders(self) -> None:
@@ -633,7 +652,7 @@ class Experiment:
             jax.random.PRNGKey(self.config.train.seed + 23), key_salt
         )
         out = self._jit_generate(
-            self.state.params,
+            self._infer_params,
             key,
             jnp.asarray(cond),
             jnp.asarray(view_count, jnp.int32),
