@@ -144,3 +144,28 @@ def test_eval_dump_images(tiny_run):
     m = compute_folder_metrics(os.path.join(root, "generated"),
                                os.path.join(root, "target"))
     assert m["count"] == 8 and np.isfinite(m["psnr"])
+
+
+def test_relative_conditioning_mode(tiny_run):
+    """Relative variant: 9-channel cond (reference view tiled), relative
+    angles (reference: data/nmr_dataset.py:31-40, experiment.py:151,
+    271-284)."""
+    tmp_path, config_path, raw = tiny_run
+    raw = copy.deepcopy(raw)
+    raw["model"]["relative"] = True
+    raw["model"]["denoise_net_params"]["in_channel"] = 9
+    raw["model"]["max_it"] = 4
+    cfg2 = str(tmp_path / "rel.yaml")
+    with open(cfg2, "w") as f:
+        yaml.dump(raw, f)
+    exp = Experiment(ExperimentArgs(config=cfg2, train=True),
+                     log_root=str(tmp_path / "logs_rel"))
+    assert exp.cond_key == "relative_cond"
+    assert exp.angle_key == "relative_angle"
+    exp.train()
+    exp.eval()
+    assert np.isfinite(exp.log_dict["psnr"])
+    # vis grid renders the view part (last 3 channels) of relative cond
+    exp.args.train = True
+    exp.inference()
+    assert any(f.startswith("output-") for f in os.listdir(exp.out_dir))
