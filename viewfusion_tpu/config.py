@@ -197,7 +197,7 @@ class TrainConfig:
     # "ddim" = fast strided sampler (models/view_fusion.py generate_ddim).
     sampler: str = "ddpm"
     ddim_steps: int = 50
-    ddim_eta: float = 0.0
+    ddim_eta: float = 1.0
     # Exponential moving average of params (standard diffusion practice;
     # the reference has none). 0 = off; typical 0.9999. Eval/inference
     # use the EMA weights when enabled.
