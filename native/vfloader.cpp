@@ -249,8 +249,11 @@ struct Loader {
   std::deque<std::string> shard_queue;
   int active_producers = 0;
   bool epoch_done = false;   // all shards consumed and not resampling
+  bool failed = false;       // no readable data: stop instead of spinning
   std::atomic<bool> stop{false};
   std::atomic<long> decode_errors{0};
+  std::atomic<long> pushed{0};
+  std::atomic<long> epochs{0};
   std::vector<std::thread> threads;
 
   uint64_t next_rand() {  // xorshift64*
@@ -272,7 +275,21 @@ struct Loader {
     std::unique_lock<std::mutex> lk(mu);
     if (shard_queue.empty()) {
       if (!resample) return false;
+      // guard: a completed epoch that produced zero samples means no
+      // shard is readable — fail instead of spinning forever
+      if (epochs.fetch_add(1) >= 1 && pushed.load() == 0) {
+        failed = true;
+        epoch_done = true;
+        cv_pop.notify_all();
+        return false;
+      }
       refill_shards_locked();
+      if (shard_queue.empty()) {
+        failed = true;
+        epoch_done = true;
+        cv_pop.notify_all();
+        return false;
+      }
     }
     out = shard_queue.front();
     shard_queue.pop_front();
@@ -299,7 +316,11 @@ struct Loader {
 
   void process_shard(const std::string& path) {
     FILE* f = fopen(path.c_str(), "rb");
-    if (!f) return;
+    if (!f) {
+      // unreadable shard counts as an error (silent loss otherwise)
+      decode_errors.fetch_add(1);
+      return;
+    }
     TarEntry e;
     std::string cur_key;
     std::vector<std::pair<std::string, std::vector<uint8_t>>> files;
@@ -336,6 +357,7 @@ struct Loader {
         ++count;
       }
       if (ok && count == total_views) {
+        pushed.fetch_add(1);
         push_sample(std::move(s));
       } else {
         decode_errors.fetch_add(1);
@@ -383,6 +405,7 @@ extern "C" {
 void* vf_loader_open(const char** paths, int n_paths, int n_threads,
                      int total_views, int resample, uint64_t seed,
                      int capacity) {
+  if (n_paths <= 0) return nullptr;  // empty shard list is caller error
   auto* L = new Loader();
   for (int i = 0; i < n_paths; ++i) L->paths.emplace_back(paths[i]);
   L->total_views = total_views;
@@ -400,13 +423,17 @@ void* vf_loader_open(const char** paths, int n_paths, int n_threads,
 }
 
 // Returns 1 and fills outputs on success; 0 at end of (non-resampled)
-// stream.  The data pointer stays valid until vf_loader_release.
+// stream; -1 when the loader failed (no readable samples).  The data
+// pointer stays valid until vf_loader_release.
 int vf_loader_next(void* handle, uint8_t** data, int* views, int* height,
                    int* width, char* key, int key_capacity,
                    void** sample_token) {
   auto* L = static_cast<Loader*>(handle);
   auto s = L->next();
-  if (!s) return 0;
+  if (!s) {
+    std::unique_lock<std::mutex> lk(L->mu);
+    return L->failed ? -1 : 0;
+  }
   *data = s->data.data();
   *views = s->views;
   *height = s->h;
@@ -426,9 +453,14 @@ long vf_loader_decode_errors(void* handle) {
 
 void vf_loader_close(void* handle) {
   auto* L = static_cast<Loader*>(handle);
-  L->stop = true;
-  L->cv_push.notify_all();
-  L->cv_pop.notify_all();
+  {
+    // hold mu so no waiter can check the predicate and park between the
+    // stop store and the notify (lost-wakeup -> join() deadlock)
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->stop = true;
+    L->cv_push.notify_all();
+    L->cv_pop.notify_all();
+  }
   for (auto& t : L->threads) t.join();
   delete L;
 }

@@ -116,3 +116,42 @@ def test_nmr_stream_native_pipeline(tmp_path):
     a = {x["scene_hash"] for x in s_native}
     b = {x["scene_hash"] for x in s_python}
     assert a == b and len(a) == 4
+
+
+def test_missing_shard_raises(tmp_path):
+    with pytest.raises(FileNotFoundError, match="missing shard"):
+        NativeShardReader([str(tmp_path / "nope.tar")], n_threads=1)
+
+
+def test_empty_shard_list_raises():
+    with pytest.raises(RuntimeError):
+        NativeShardReader([], n_threads=1)
+
+
+def test_closed_reader_raises(tmp_path):
+    paths = make_synthetic_shards(str(tmp_path), "train", num_objects=2,
+                                  image_size=8)
+    reader = NativeShardReader(paths, n_threads=1, resample=False)
+    it = iter(reader)
+    next(it)
+    reader.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        next(it)
+
+
+def test_all_samples_corrupt_raises(tmp_path):
+    path = str(tmp_path / "bad.tar")
+    with TarShardWriter(path) as w:
+        w.write({"__key__": "x", "0000.png": b"junk"})
+    reader = NativeShardReader([path], n_threads=1, resample=False)
+    with pytest.raises(RuntimeError, match="no readable samples"):
+        list(reader)
+
+
+def test_uint8_contract(tmp_path):
+    paths = make_synthetic_shards(str(tmp_path), "train", num_objects=1,
+                                  image_size=8)
+    reader = NativeShardReader(paths, n_threads=1, resample=False)
+    views, _ = next(iter(reader))
+    assert views.dtype == np.uint8
+    reader.close()

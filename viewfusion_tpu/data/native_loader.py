@@ -67,11 +67,16 @@ def native_available() -> bool:
 
 
 class NativeShardReader:
-    """Iterates (views_float32_NHWC, key) decoded by C++ threads."""
+    """Iterates (views_uint8_NHWC (V, H, W, 3), key) decoded by C++
+    threads.  Raises FileNotFoundError up-front for missing shards and
+    RuntimeError if the stream produces no readable samples."""
 
     def __init__(self, urls: List[str], total_views: int = 24,
                  n_threads: int = 4, resample: bool = True, seed: int = 0,
                  capacity: int = 64):
+        missing = [u for u in urls if not os.path.exists(u)]
+        if missing:
+            raise FileNotFoundError(f"missing shard(s): {missing}")
         self._lib = _load_lib()
         arr = (ctypes.c_char_p * len(urls))(
             *[u.encode() for u in urls]
@@ -81,7 +86,9 @@ class NativeShardReader:
             seed, capacity,
         )
         if not self._handle:
-            raise RuntimeError("vf_loader_open failed")
+            raise RuntimeError(
+                "vf_loader_open failed (empty shard list?)"
+            )
         self._closed = False
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, str]]:
@@ -91,18 +98,27 @@ class NativeShardReader:
         w = ctypes.c_int()
         key = ctypes.create_string_buffer(512)
         token = ctypes.c_void_p()
+        yielded = 0
         while True:
-            ok = self._lib.vf_loader_next(
+            if self._closed:
+                raise RuntimeError("NativeShardReader is closed")
+            rc = self._lib.vf_loader_next(
                 self._handle, ctypes.byref(data_p), ctypes.byref(views),
                 ctypes.byref(h), ctypes.byref(w), key, len(key),
                 ctypes.byref(token),
             )
-            if not ok:
+            if rc <= 0:
+                if rc < 0 or (yielded == 0 and self.decode_errors > 0):
+                    raise RuntimeError(
+                        "native loader produced no readable samples "
+                        f"({self.decode_errors} shard/decode errors)"
+                    )
                 return
             n = views.value * h.value * w.value * 3
             buf = np.ctypeslib.as_array(data_p, shape=(n,))
             out = buf.copy().reshape(views.value, h.value, w.value, 3)
             self._lib.vf_loader_release(token)
+            yielded += 1
             yield out, key.value.decode()
 
     @property
