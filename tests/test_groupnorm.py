@@ -1,0 +1,133 @@
+"""Fused GroupNorm(+SiLU) kernel: forward + gradient parity.
+
+Oracle is flax.linen.GroupNorm (itself torch-GroupNorm-equivalent, the
+reference Block norm, model/unet.py:209) followed by an unfused SiLU.
+The Pallas kernel math runs in interpreter mode on the CPU test mesh
+(use_pallas=True off-TPU => interpret); the XLA fallback path is what
+CPU training/tests actually execute.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from viewfusion_tpu.ops.groupnorm import group_norm_act
+
+
+def _flax_oracle(x, scale, bias, groups, eps, act):
+    mod = nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=jnp.float32)
+    y = mod.apply({"params": {"scale": scale, "bias": bias}}, x)
+    return y * jax.nn.sigmoid(y) if act == "silu" else y
+
+
+def _rand(rng, shape, dtype=np.float32):
+    return jnp.asarray(rng.normal(1.5, 2.0, shape).astype(dtype))
+
+
+SHAPES = [
+    # (B, H, W, C, groups) — includes non-128 lanes and tiny groups
+    (3, 8, 8, 32, 8),
+    (2, 16, 16, 64, 32),
+    (4, 4, 4, 48, 8),
+    (2, 5, 7, 24, 4),  # odd spatial dims (L not a sublane multiple)
+]
+
+
+@pytest.mark.parametrize("act", ["none", "silu"])
+@pytest.mark.parametrize("shape", SHAPES)
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_forward_matches_flax(rng, shape, act, use_pallas):
+    b, h, w, c, g = shape
+    x = _rand(rng, (b, h, w, c))
+    scale = _rand(rng, (c,))
+    bias = _rand(rng, (c,))
+    got = group_norm_act(x, scale, bias, groups=g, eps=1e-5, act=act,
+                         use_pallas=use_pallas)
+    want = _flax_oracle(x, scale, bias, g, 1e-5, act)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("act", ["none", "silu"])
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_gradients_match_flax(rng, act, use_pallas):
+    b, h, w, c, g = 2, 8, 8, 32, 8
+    x = _rand(rng, (b, h, w, c))
+    scale = _rand(rng, (c,))
+    bias = _rand(rng, (c,))
+    # weighted sum so the cotangent isn't uniform
+    wgt = _rand(rng, (b, h, w, c))
+
+    def loss_fused(x_, s_, b_):
+        y = group_norm_act(x_, s_, b_, groups=g, act=act,
+                           use_pallas=use_pallas)
+        return jnp.sum(y * wgt)
+
+    def loss_oracle(x_, s_, b_):
+        return jnp.sum(_flax_oracle(x_, s_, b_, g, 1e-5, act) * wgt)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, bias)
+    want = jax.grad(loss_oracle, argnums=(0, 1, 2))(x, scale, bias)
+    for gv, wv, name in zip(got, want, ("dx", "dscale", "dbias")):
+        np.testing.assert_allclose(
+            np.asarray(gv), np.asarray(wv), atol=1e-3, rtol=1e-3,
+            err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_bfloat16_io(rng, use_pallas):
+    b, h, w, c, g = 2, 8, 8, 32, 8
+    x32 = _rand(rng, (b, h, w, c))
+    scale = _rand(rng, (c,))
+    bias = _rand(rng, (c,))
+    y16 = group_norm_act(x32.astype(jnp.bfloat16), scale, bias, groups=g,
+                         act="silu", use_pallas=use_pallas)
+    assert y16.dtype == jnp.bfloat16
+    want = _flax_oracle(x32, scale, bias, g, 1e-5, "silu")
+    np.testing.assert_allclose(
+        np.asarray(y16, dtype=np.float32), np.asarray(want),
+        atol=0.15, rtol=0.1,
+    )
+
+
+def test_jit_and_vmap_compose(rng):
+    b, h, w, c, g = 2, 4, 4, 16, 4
+    x = _rand(rng, (b, h, w, c))
+    scale, bias = jnp.ones((c,)), jnp.zeros((c,))
+    f = jax.jit(lambda x_: group_norm_act(x_, scale, bias, groups=g,
+                                          act="silu"))
+    np.testing.assert_allclose(
+        np.asarray(f(x)),
+        np.asarray(_flax_oracle(x, scale, bias, g, 1e-5, "silu")),
+        atol=2e-5, rtol=2e-5,
+    )
+
+
+def test_invalid_args(rng):
+    x = _rand(rng, (1, 4, 4, 10))
+    with pytest.raises(ValueError, match="divisible"):
+        group_norm_act(x, jnp.ones(10), jnp.zeros(10), groups=4)
+    x = _rand(rng, (1, 4, 4, 8))
+    with pytest.raises(ValueError, match="unsupported act"):
+        group_norm_act(x, jnp.ones(8), jnp.zeros(8), groups=4, act="gelu")
+
+
+def test_unet_param_tree_unchanged(tiny_config):
+    """The fused norm must keep GroupNorm_0/{scale,bias} paths so round-1
+    checkpoints and torch_convert keep loading."""
+    from viewfusion_tpu.models.view_fusion import ViewFusion
+
+    model = ViewFusion.from_config(tiny_config)
+    hw = tiny_config.unet.image_size
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, hw, hw, 3)), jnp.zeros((1, hw, hw, 3)),
+    )
+    flat = {"/".join(str(k.key) for k in path)
+            for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
+    gn_paths = [p for p in flat if "GroupNorm_0" in p]
+    assert gn_paths, "no GroupNorm_0 params found"
+    assert all(p.endswith("scale") or p.endswith("bias") for p in gn_paths)

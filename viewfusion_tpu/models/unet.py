@@ -30,8 +30,33 @@ from flax import linen as nn
 
 from viewfusion_tpu.config import UNetConfig
 from viewfusion_tpu.ops.attention import spatial_self_attention
+from viewfusion_tpu.ops.groupnorm import group_norm_act
 
-__all__ = ["UNet", "positional_encoding"]
+__all__ = ["UNet", "FusedGroupNorm", "positional_encoding"]
+
+
+class FusedGroupNorm(nn.Module):
+    """GroupNorm with an optionally fused SiLU, dispatched to the Pallas
+    TPU kernel in ops/groupnorm.py (XLA fallback off-TPU).
+
+    Param tree matches flax.linen.GroupNorm ({scale, bias}, float32), so
+    checkpoints and the torch weight converter (utils/torch_convert.py)
+    are layout-identical; statistics are float32, output is ``dtype``."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    act: str = "none"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_act(
+            x, scale, bias, groups=self.num_groups, eps=self.epsilon,
+            act=self.act,
+        ).astype(self.dtype)
 
 
 def positional_encoding(level: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -79,8 +104,12 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
-        h = nn.silu(h)
+        # GroupNorm + Swish fused into one Pallas kernel (one HBM round
+        # trip instead of XLA's reduce + normalize passes).
+        h = FusedGroupNorm(
+            num_groups=self.groups, epsilon=1e-5, dtype=self.dtype,
+            act="silu", name="GroupNorm_0",
+        )(x)
         if self.dropout > 0.0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
         return nn.Conv(
@@ -129,8 +158,10 @@ class SelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
-        norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
-                            dtype=self.dtype)(x)
+        norm = FusedGroupNorm(
+            num_groups=self.norm_groups, epsilon=1e-5, dtype=self.dtype,
+            act="none", name="GroupNorm_0",
+        )(x)
         qkv = nn.Conv(c * 3, (1, 1), use_bias=False, dtype=self.dtype, name="qkv")(
             norm
         )

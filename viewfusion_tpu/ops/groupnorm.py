@@ -1,0 +1,414 @@
+"""Fused GroupNorm(+SiLU) Pallas TPU kernel with analytic backward.
+
+The UNet spends every ResnetBlock on GroupNorm -> SiLU -> Conv
+(reference: model/unet.py:207-218); the round-1 op profile attributed 13%
+of device self-time to these normalization reductions (README.md).  XLA
+lowers GroupNorm to several HBM passes (moment reduction, then a separate
+normalize+affine pass, and the mirrored pair in backward).  This kernel
+does the speed-of-light schedule instead:
+
+  forward : ONE read of x, ONE write of y per sample.  Per-group moments
+            are computed from VMEM-resident data; the per-group <-> per-
+            channel mappings run as tiny one-hot matmuls on the MXU
+            (C x G one-hot built from iota), avoiding lane-dimension
+            reshapes that Mosaic would relayout.
+  backward: ONE read of (x, g), ONE write of dx; dscale/dbias are emitted
+            as per-sample partials (B, C) and summed outside the kernel
+            (a trivial XLA reduction).  Uses the saved per-group
+            mean/rstd, so nothing is recomputed from HBM.
+
+Statistics are always float32 (params too); the output is cast back to
+the input dtype, matching flax.linen.GroupNorm's float32 stats + dtype
+output contract.  ``act="silu"`` fuses the Swish that always follows the
+norm in the UNet blocks; ``act="none"`` serves the attention pre-norm.
+
+On non-TPU backends (the 8-device CPU test mesh) the public entry point
+dispatches to an equivalent XLA implementation; ``use_pallas=True`` on
+CPU runs the kernel in interpreter mode (used by tests to validate the
+kernel math itself without a chip).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu imports fine on CPU; guard for exotic builds.
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+__all__ = ["group_norm_act", "FusedGroupNorm"]
+
+
+def _act_fwd(z: jnp.ndarray, act: str) -> jnp.ndarray:
+    if act == "silu":
+        return z * jax.nn.sigmoid(z)
+    return z
+
+
+def _act_grad(z: jnp.ndarray, act: str) -> jnp.ndarray:
+    """d act(z) / dz evaluated from the pre-activation z."""
+    if act == "silu":
+        s = jax.nn.sigmoid(z)
+        return s * (1.0 + z * (1.0 - s))
+    return jnp.ones_like(z)
+
+
+def _group_onehots(c_lanes: int, groups: int, c_logical: int):
+    """(C_lanes, G) and (G, C_lanes) one-hot group-membership matrices.
+
+    Built from 2-D iota so the per-group reductions/broadcasts run as
+    MXU matmuls instead of lane-dim reshapes.  When ``c_lanes`` is a
+    row-fold of the logical channel axis (f rows packed side by side to
+    fill the 128 lanes), lane j carries channel ``j % c_logical`` — the
+    membership map absorbs the fold for free."""
+    cpg = c_logical // groups
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c_lanes, groups), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c_lanes, groups), 1)
+    m_cg = (ch % c_logical // cpg == gr).astype(jnp.float32)
+    ch_t = jax.lax.broadcasted_iota(jnp.int32, (groups, c_lanes), 1)
+    gr_t = jax.lax.broadcasted_iota(jnp.int32, (groups, c_lanes), 0)
+    m_gc = (ch_t % c_logical // cpg == gr_t).astype(jnp.float32)
+    return m_cg, m_gc
+
+
+def _fold_factor(l: int, c: int) -> int:
+    """Rows folded into lanes so narrow-channel inputs use all 128 VPU
+    lanes (C=64 UNet stem blocks would otherwise waste half of every
+    vector op)."""
+    f = max(1, 128 // c)
+    while f > 1 and l % f:
+        f -= 1
+    return f
+
+
+# ---------------------------------------------------------------------
+# forward kernel: y = act((x - mean_g) * rstd_g * scale + bias)
+# ---------------------------------------------------------------------
+def _chunk_rows(l: int, c: int, budget_bytes: int = 1 << 19) -> int:
+    """Largest divisor of ``l`` whose f32 chunk fits the temp budget.
+
+    The whole (L, C) block lives in VMEM once, but every f32 temporary
+    the kernel body creates is stack-allocated at full block size unless
+    the body is written chunk-wise — at (4096, 192) that OOMs the 16 MB
+    scoped VMEM.  Chunking the row axis keeps each temp under ~0.5 MB
+    while the block itself is still read from HBM exactly once."""
+    if l * c * 4 <= budget_bytes:
+        return l
+    chunk = max(1, budget_bytes // (c * 4))
+    while l % chunk:
+        chunk -= 1
+    return max(chunk, 1)
+
+
+def _fwd_kernel(x_ref, scale_ref, bias_ref, y_ref, mean_ref, rstd_ref,
+                *, groups: int, eps: float, act: str, c_logical: int,
+                chunk: int):
+    l, c = x_ref.shape[1], x_ref.shape[2]
+    m_cg, m_gc = _group_onehots(c, groups, c_logical)
+    n = float(l * (c // groups))
+    hi = jax.lax.Precision.HIGHEST
+
+    # pass 1: per-channel sums, row-chunked (see _chunk_rows)
+    s1 = jnp.zeros((1, c), jnp.float32)
+    s2 = jnp.zeros((1, c), jnp.float32)
+    for k in range(l // chunk):
+        xs = x_ref[0, k * chunk:(k + 1) * chunk, :].astype(jnp.float32)
+        s1 = s1 + jnp.sum(xs, axis=0, keepdims=True)
+        s2 = s2 + jnp.sum(xs * xs, axis=0, keepdims=True)
+
+    mean_g = jnp.dot(s1, m_cg, preferred_element_type=jnp.float32,
+                     precision=hi) / n
+    ms_g = jnp.dot(s2, m_cg, preferred_element_type=jnp.float32,
+                   precision=hi) / n
+    var_g = jnp.maximum(ms_g - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)        # (1, G)
+    mean_c = jnp.dot(mean_g, m_gc, preferred_element_type=jnp.float32,
+                     precision=hi)
+    rstd_c = jnp.dot(rstd_g, m_gc, preferred_element_type=jnp.float32,
+                     precision=hi)
+
+    scale = scale_ref[0].astype(jnp.float32)
+    bias = bias_ref[0].astype(jnp.float32)
+    # pass 2: normalize + affine + activation (VMEM-resident)
+    for k in range(l // chunk):
+        sl = slice(k * chunk, (k + 1) * chunk)
+        xs = x_ref[0, sl, :].astype(jnp.float32)
+        z = (xs - mean_c) * rstd_c * scale + bias
+        y_ref[0, sl, :] = _act_fwd(z, act).astype(y_ref.dtype)
+    mean_ref[0] = mean_g  # (1, G) block of the (B, 1, G) stats array
+    rstd_ref[0] = rstd_g
+
+
+# ---------------------------------------------------------------------
+# backward kernel: standard GroupNorm gradient with the activation
+# gradient folded in; per-sample dscale/dbias partials.
+# ---------------------------------------------------------------------
+def _bwd_kernel(x_ref, scale_ref, bias_ref, mean_ref, rstd_ref, g_ref,
+                dx_ref, dscale_ref, dbias_ref,
+                *, groups: int, eps: float, act: str, c_logical: int,
+                chunk: int):
+    del eps
+    l, c = x_ref.shape[1], x_ref.shape[2]
+    m_cg, m_gc = _group_onehots(c, groups, c_logical)
+    n = float(l * (c // groups))
+    hi = jax.lax.Precision.HIGHEST
+
+    scale = scale_ref[0].astype(jnp.float32)   # (C,) broadcast over rows
+    bias = bias_ref[0].astype(jnp.float32)
+    mean_c = jnp.dot(mean_ref[0], m_gc, preferred_element_type=jnp.float32,
+                     precision=hi)
+    rstd_c = jnp.dot(rstd_ref[0], m_gc, preferred_element_type=jnp.float32,
+                     precision=hi)
+
+    def chunk_xhat_dy(k):
+        sl = slice(k * chunk, (k + 1) * chunk)
+        xs = x_ref[0, sl, :].astype(jnp.float32)
+        gs = g_ref[0, sl, :].astype(jnp.float32)
+        xhat = (xs - mean_c) * rstd_c
+        dy = gs * _act_grad(xhat * scale + bias, act)
+        return sl, xhat, dy
+
+    # pass 1: the four per-channel reductions, row-chunked (_chunk_rows)
+    dbias = jnp.zeros((1, c), jnp.float32)
+    dscale = jnp.zeros((1, c), jnp.float32)
+    a_sum = jnp.zeros((1, c), jnp.float32)   # sum dxhat
+    b_sum = jnp.zeros((1, c), jnp.float32)   # sum dxhat * xhat
+    for k in range(l // chunk):
+        _, xhat, dy = chunk_xhat_dy(k)
+        dxhat = dy * scale
+        dbias = dbias + jnp.sum(dy, axis=0, keepdims=True)
+        dscale = dscale + jnp.sum(dy * xhat, axis=0, keepdims=True)
+        a_sum = a_sum + jnp.sum(dxhat, axis=0, keepdims=True)
+        b_sum = b_sum + jnp.sum(dxhat * xhat, axis=0, keepdims=True)
+
+    a_g = jnp.dot(a_sum, m_cg, preferred_element_type=jnp.float32,
+                  precision=hi) / n          # (1, G)
+    b_g = jnp.dot(b_sum, m_cg, preferred_element_type=jnp.float32,
+                  precision=hi) / n
+    a_c = jnp.dot(a_g, m_gc, preferred_element_type=jnp.float32,
+                  precision=hi)
+    b_c = jnp.dot(b_g, m_gc, preferred_element_type=jnp.float32,
+                  precision=hi)
+
+    # pass 2: dx (x/g still VMEM-resident; recompute xhat/dy per chunk)
+    for k in range(l // chunk):
+        sl, xhat, dy = chunk_xhat_dy(k)
+        dxhat = dy * scale
+        dx_ref[0, sl, :] = (
+            rstd_c * (dxhat - a_c - xhat * b_c)
+        ).astype(dx_ref.dtype)
+    dscale_ref[0] = dscale  # (1, C) block of the (B, 1, C) partials
+    dbias_ref[0] = dbias
+
+
+# ---------------------------------------------------------------------
+# pallas_call wrappers (operate on (B, L, C); grid over B)
+# ---------------------------------------------------------------------
+def _row_spec(l, c):
+    return pl.BlockSpec((1, l, c), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _vec_spec(c):
+    # scale/bias (1, C): same block for every grid step
+    return pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _stat_spec(g):
+    # Per-sample stats live as (B, 1, G): the (1, 1, G) block's trailing
+    # two dims equal the array dims, satisfying Mosaic's tiling rule for
+    # any G (a (1, G) block of a (B, G) array would not).
+    return pl.BlockSpec((1, 1, g), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _compiler_params():
+    """Raise the scoped-VMEM cap: the default 16 MB rejects the largest
+    UNet blocks (3 row-blocks x double buffering + chunk temps ~ 17 MB
+    at (4096, 192)); v5e has far more physical VMEM than the default
+    compiler budget."""
+    if pltpu is None:  # pragma: no cover
+        return None
+    params = getattr(pltpu, "CompilerParams", None) or getattr(
+        pltpu, "TPUCompilerParams"
+    )
+    return params(vmem_limit_bytes=64 * 1024 * 1024)
+
+
+def _pallas_fwd(x3, scale, bias, groups, eps, act, interpret):
+    b, l, c = x3.shape
+    f = _fold_factor(l, c)
+    lf, cf = l // f, f * c
+    x4 = x3.reshape(b, lf, cf)
+    sc = jnp.tile(scale.reshape(1, c), (1, f))
+    bi = jnp.tile(bias.reshape(1, c), (1, f))
+    kern = functools.partial(_fwd_kernel, groups=groups, eps=eps, act=act,
+                             c_logical=c, chunk=_chunk_rows(lf, cf))
+    y, mean, rstd = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[_row_spec(lf, cf), _vec_spec(cf), _vec_spec(cf)],
+        out_specs=[_row_spec(lf, cf), _stat_spec(groups),
+                   _stat_spec(groups)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lf, cf), x3.dtype),
+            jax.ShapeDtypeStruct((b, 1, groups), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, groups), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * l * c,
+            bytes_accessed=2 * b * l * c * x3.dtype.itemsize,
+            transcendentals=b * l * c if act == "silu" else 0,
+        ),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(x4, sc, bi)
+    return y.reshape(b, l, c), mean, rstd
+
+
+def _pallas_bwd(x3, scale, bias, mean, rstd, g3, groups, eps, act,
+                interpret):
+    b, l, c = x3.shape
+    f = _fold_factor(l, c)
+    lf, cf = l // f, f * c
+    sc = jnp.tile(scale.reshape(1, c), (1, f))
+    bi = jnp.tile(bias.reshape(1, c), (1, f))
+    kern = functools.partial(_bwd_kernel, groups=groups, eps=eps, act=act,
+                             c_logical=c, chunk=_chunk_rows(lf, cf))
+    dx, dscale_p, dbias_p = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[_row_spec(lf, cf), _vec_spec(cf), _vec_spec(cf),
+                  _stat_spec(groups), _stat_spec(groups),
+                  _row_spec(lf, cf)],
+        out_specs=[_row_spec(lf, cf), _stat_spec(cf), _stat_spec(cf)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lf, cf), x3.dtype),
+            jax.ShapeDtypeStruct((b, 1, cf), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, cf), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=16 * b * l * c,
+            bytes_accessed=3 * b * l * c * x3.dtype.itemsize,
+            transcendentals=b * l * c if act == "silu" else 0,
+        ),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(x3.reshape(b, lf, cf), sc, bi, mean, rstd, g3.reshape(b, lf, cf))
+    # un-fold the per-lane partials back to per-channel (lane j carries
+    # channel j % C)
+    dscale_p = dscale_p.reshape(b, f, c).sum(axis=1)
+    dbias_p = dbias_p.reshape(b, f, c).sum(axis=1)
+    return dx.reshape(b, l, c), dscale_p, dbias_p
+
+
+# ---------------------------------------------------------------------
+# XLA fallback (CPU test meshes; also the independent oracle in tests)
+# ---------------------------------------------------------------------
+def _xla_gn_act(x, scale, bias, groups, eps, act):
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    shaped = xf.reshape(x.shape[0], -1, groups, c // groups)
+    mean = jnp.mean(shaped, axis=(1, 3), keepdims=True)
+    var = jnp.mean(shaped * shaped, axis=(1, 3), keepdims=True) - mean**2
+    y = (shaped - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    y = y.reshape(xf.shape)
+    z = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return _act_fwd(z, act).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------
+def _dispatch(use_pallas):
+    """Resolve (run_pallas, interpret) from the tri-state flag.
+
+    ``VF_GN_PALLAS=0/1`` overrides the default dispatch (measurement
+    escape hatch; see README perf notes for the measured step-time
+    delta that set the default)."""
+    if use_pallas is None:
+        import os
+
+        env = os.environ.get("VF_GN_PALLAS")
+        if env is not None:
+            use_pallas = env not in ("0", "false", "")
+        else:
+            return (jax.default_backend() == "tpu" and pltpu is not None,
+                    False)
+    if use_pallas and jax.default_backend() != "tpu":
+        return True, True  # kernel-math validation on CPU
+    return bool(use_pallas), False
+
+
+# The custom VJP wraps ONLY the Pallas path: on the XLA path the plain
+# differentiable implementation is returned directly, so XLA can fuse
+# the norm into its neighbors (a custom_vjp boundary would block that
+# and measurably slow the fallback train step).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_act_pallas(x3, scale, bias, groups, eps, act, interpret):
+    y, _, _ = _pallas_fwd(x3, scale, bias, groups, eps, act, interpret)
+    return y
+
+
+def _gn_act_fwd(x3, scale, bias, groups, eps, act, interpret):
+    y, mean, rstd = _pallas_fwd(x3, scale, bias, groups, eps, act,
+                                interpret)
+    return y, (x3, scale, bias, mean, rstd)
+
+
+def _gn_act_bwd(groups, eps, act, interpret, res, g):
+    x3, scale, bias, mean, rstd = res
+    dx, dscale_p, dbias_p = _pallas_bwd(
+        x3, scale, bias, mean, rstd, g, groups, eps, act, interpret
+    )
+    return (dx, jnp.sum(dscale_p, axis=0).astype(scale.dtype),
+            jnp.sum(dbias_p, axis=0).astype(bias.dtype))
+
+
+_gn_act_pallas.defvjp(_gn_act_fwd, _gn_act_bwd)
+
+
+def group_norm_act(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    groups: int,
+    eps: float = 1e-5,
+    act: str = "none",
+    use_pallas=None,
+) -> jnp.ndarray:
+    """GroupNorm over the trailing channel axis (+optional fused SiLU).
+
+    ``x`` is (B, ..., C) with C % groups == 0; normalization is per
+    sample over all non-batch axes within each channel group — identical
+    semantics to flax.linen.GroupNorm / torch.nn.GroupNorm (the
+    reference Block norm, model/unet.py:209).  Returns x.dtype.
+    """
+    if x.shape[-1] % groups:
+        raise ValueError(
+            f"channels {x.shape[-1]} not divisible by groups {groups}"
+        )
+    if act not in ("none", "silu"):
+        raise ValueError(f"unsupported act {act!r}")
+    b, c = x.shape[0], x.shape[-1]
+    x3 = x.reshape(b, -1, c)
+    run_pallas, interpret = _dispatch(use_pallas)
+    if run_pallas:
+        y = _gn_act_pallas(x3, scale, bias, groups, eps, act, interpret)
+    else:
+        y = _xla_gn_act(x3, scale, bias, groups, eps, act)
+    return y.reshape(x.shape)
+
+
+class FusedGroupNorm:
+    """Flax-module factory is defined in models/unet.py to keep the param
+    tree naming there; this symbol exists only to document the op's home."""
+
+    def __new__(cls, *a, **k):  # pragma: no cover
+        raise TypeError("use viewfusion_tpu.models.unet.FusedGroupNorm")
