@@ -3,7 +3,8 @@
 
 Prints ONE JSON line:
   {"metric": "train_steps_per_sec_per_chip", "value": N, "unit": "steps/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "mfu": N, "achieved_tflops": N,
+   "model_tflops_per_step": N, "data_fed_steps_per_sec": N}
 
 Baseline: the reference paper model trained 710k steps in ~6.5 days on
 4x V100 (README.md:136) at global batch 112 => ~1.26 global steps/s
@@ -19,17 +20,41 @@ model/view_fusion.py:244-256).  The packed TPU path measured here
 computes exactly the same 98 rows (stratified counts, sum fixed), so
 steps/s is an apples-to-apples comparison of per-step work.
 
-Extra diagnostics (sampling throughput etc.) go to stderr; stdout is the
-single JSON line.
+MFU: model FLOPs are counted analytically from the config topology
+(`unet_flops_per_row`, convs + attention matmuls, x3 for fwd+bwd) and
+cross-checked against XLA's own cost analysis of the compiled step
+(stderr).  Peak is the chip's dense bf16 rate (v5e: 197 TFLOP/s).
+
+data_fed_steps_per_sec: the same train step fed by the REAL input
+pipeline (synthetic 64px NMR-format shards -> shard reader -> decode ->
+shuffle -> Batcher -> prefetch -> device put), i.e. trainer-integrated
+throughput rather than a pure-compute loop.  NOTE: this container has 1
+CPU core; production TPU-VM hosts have >100, so this is a worst-case
+host-bound number (each step decodes 28 objects x 24 PNG views).
+
+Extra diagnostics go to stderr; stdout is the single JSON line.
 """
 
 import json
+import os
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 BASELINE_STEPS_PER_SEC_PER_GPU = 1.26 / 4  # BASELINE.md
+
+# Dense bf16 peak FLOP/s by TPU generation (public spec numbers).
+PEAK_BF16 = {
+    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5litepod": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,
+    "v6e": 918e12,
+}
 
 FLAGSHIP = {
     "model": {
@@ -67,6 +92,63 @@ FLAGSHIP = {
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def unet_flops_per_row(cfg) -> float:
+    """Analytic forward FLOPs for ONE UNet row (one (H, W, in_ch) input),
+    walking the exact topology of models/unet.py (= reference
+    model/unet.py:42-112): convs, residual/qkv/out projections, and the
+    attention einsums.  Norms/activations/bias adds are excluded (<1%).
+    """
+
+    def conv(h, cin, cout, k=3):
+        return 2.0 * k * k * cin * cout * h * h
+
+    def resnet_attn_block(h, cin, cout, attn):
+        f = conv(h, cin, cout) + conv(h, cout, cout)  # Block_0 + Block_1
+        if cin != cout:
+            f += conv(h, cin, cout, k=1)  # res_conv
+        if attn:
+            s = h * h
+            f += conv(h, cout, 3 * cout, k=1)      # qkv
+            f += 2.0 * s * s * cout * 2            # scores + p@v
+            f += conv(h, cout, cout, k=1)          # out proj
+        return f
+
+    inner = cfg.inner_channel
+    now = cfg.image_size
+    num = len(cfg.channel_mults)
+
+    total = conv(now, cfg.in_channel, inner)  # stem
+    skips = [inner]
+    pre = inner
+    for ind in range(num):
+        attn = now in cfg.attn_res
+        cm = inner * cfg.channel_mults[ind]
+        for _ in range(cfg.res_blocks):
+            total += resnet_attn_block(now, pre, cm, attn)
+            pre = cm
+            skips.append(cm)
+        if ind != num - 1:
+            now //= 2
+            total += conv(now, pre, pre)  # stride-2 conv, output at now/2
+            skips.append(pre)
+
+    total += resnet_attn_block(now, pre, pre, True)   # mid_0
+    total += resnet_attn_block(now, pre, pre, False)  # mid_1
+
+    for ind in reversed(range(num)):
+        attn = now in cfg.attn_res
+        cm = inner * cfg.channel_mults[ind]
+        for _ in range(cfg.res_blocks + 1):
+            total += resnet_attn_block(now, pre + skips.pop(), cm, attn)
+            pre = cm
+        if ind >= 1:
+            now *= 2
+            total += conv(now, pre, pre)  # post-upsample conv at 2x res
+
+    total += conv(cfg.image_size, pre, cfg.out_channel)  # head
+    return total
 
 
 def main():
@@ -110,6 +192,7 @@ def main():
     angle = jnp.asarray(
         rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32)
     )
+    rows = int(counts.sum())
 
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
@@ -155,15 +238,99 @@ def main():
     dt = time.perf_counter() - t0
     steps_per_sec = iters / dt
     log(f"{iters} steps in {dt:.2f}s -> {steps_per_sec:.3f} steps/s "
-        f"(batch {b}, max_views {n})")
+        f"(batch {b}, max_views {n}, packed rows {rows})")
 
-    print(json.dumps({
+    # ---------------- MFU / roofline accounting ----------------------
+    fwd_flops = unet_flops_per_row(cfg.unet) * rows
+    step_flops = 3.0 * fwd_flops  # fwd + ~2x fwd for backward
+    achieved = step_flops * steps_per_sec
+    kind = dev.device_kind.lower()
+    peak = next((v for k, v in PEAK_BF16.items() if k in kind), 197e12)
+    mfu = achieved / peak
+    log(f"model step FLOPs (analytic): {step_flops / 1e12:.3f} TF "
+        f"({fwd_flops / 1e12:.3f} TF fwd x3)")
+    try:  # cross-check vs the compiler's own count of the lowered step
+        comp = train_step.lower(params, opt_state, key, y0, cond,
+                                view_count, angle).compile()
+        xla_flops = comp.cost_analysis().get("flops", float("nan"))
+        log(f"XLA cost_analysis step FLOPs: {xla_flops / 1e12:.3f} TF "
+            f"(analytic/XLA = {step_flops / xla_flops:.3f})")
+    except Exception as e:  # pragma: no cover
+        log(f"cost_analysis unavailable: {e}")
+    log(f"achieved {achieved / 1e12:.1f} TFLOP/s of {peak / 1e12:.0f} peak "
+        f"({dev.device_kind}) -> MFU {mfu * 100:.1f}%")
+
+    # ---------------- trainer-integrated (data-fed) ------------------
+    data_sps = None
+    try:
+        data_sps = bench_data_fed(train_step, params, opt_state, key, cfg,
+                                  steps_per_sec)
+    except Exception as e:  # pragma: no cover
+        log(f"data-fed bench failed: {e}")
+
+    out = {
         "metric": "train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC_PER_GPU,
                              3),
-    }))
+        "mfu": round(mfu, 4),
+        "achieved_tflops": round(achieved / 1e12, 2),
+        "model_tflops_per_step": round(step_flops / 1e12, 4),
+    }
+    if data_sps is not None:
+        out["data_fed_steps_per_sec"] = round(data_sps, 4)
+    print(json.dumps(out))
+
+
+def bench_data_fed(train_step, params, opt_state, key, cfg, synth_sps):
+    """Same jitted step, fed by the real shard->decode->batch pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from viewfusion_tpu.config import SplitConfig
+    from viewfusion_tpu.data.nmr import Batcher, create_nmr_stream, prefetch
+    from viewfusion_tpu.data.synthetic import make_synthetic_shards
+
+    b = cfg.data.batch_size
+    n = cfg.data.max_views
+    hw = cfg.unet.image_size
+    tmp = tempfile.mkdtemp(prefix="vf_bench_data_")
+    make_synthetic_shards(tmp, "train", num_objects=64, image_size=hw)
+    stream = create_nmr_stream(
+        SplitConfig(path=tmp, mode="train", start_shard=0, end_shard=0),
+        shuffle_buffer=64, seed=0,
+    )
+    log(f"data-fed: native_loader={stream.native}")
+    counts = np.resize(np.arange(1, n + 1), b)
+    np.random.default_rng(1).shuffle(counts)
+    view_count = jnp.asarray(counts.astype(np.int32))
+    loader = prefetch(
+        iter(Batcher(stream, b, n_cond_views=n,
+                     keys=["target", "cond", "angle"])),
+        depth=2,
+    )
+
+    def step_from(batch, key):
+        return train_step(
+            params, opt_state, key,
+            jnp.asarray(batch["target"]), jnp.asarray(batch["cond"]),
+            view_count, jnp.asarray(batch["angle"]).reshape(-1),
+        )
+
+    _, _, loss = step_from(next(loader), key)  # warm (reuses compile)
+    jax.block_until_ready(loss)
+    iters = 15 if jax.devices()[0].platform != "cpu" else 2
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key = jax.random.fold_in(key, 1000 + i)
+        _, _, loss = step_from(next(loader), key)
+    jax.block_until_ready(loss)
+    sps = iters / (time.perf_counter() - t0)
+    log(f"data-fed: {sps:.3f} steps/s ({sps / synth_sps * 100:.0f}% of "
+        f"synthetic-tensor rate; host has {os.cpu_count()} CPU core(s), "
+        f"{b * 24} PNG decodes/step)")
+    return sps
 
 
 if __name__ == "__main__":

@@ -9,8 +9,11 @@ viewfusion_tpu.utils.torch_convert, and compares:
 across the paper config topology (scaled down for speed).
 
 Run manually:  JAX_PLATFORMS=cpu python scripts/parity_check.py
+Pass ``--out FILE`` to also record the measured errors as a JSON
+artifact (committed as PARITY_r02.json so the evidence trail is in-repo).
 """
 
+import json
 import os
 import sys
 
@@ -140,6 +143,31 @@ def main():
     assert mean_err < 5e-4 and logvar_err < 1e-6, \
         "denoising step parity FAILED"
     print("PARITY OK")
+
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "status": "ok",
+                    "unet_forward_max_abs_err": float(err),
+                    "unet_forward_rel_err": float(rel),
+                    "p_mean_variance_max_abs_err": float(mean_err),
+                    "posterior_logvar_err": float(logvar_err),
+                    "reference": REF,
+                    "topology": {
+                        "image_size": cfg.image_size,
+                        "inner_channel": cfg.inner_channel,
+                        "channel_mults": list(cfg.channel_mults),
+                        "res_blocks": cfg.res_blocks,
+                        "norm_groups": cfg.norm_groups,
+                        "attn_res": list(cfg.attn_res),
+                        "num_timesteps": 100,
+                    },
+                },
+                f, indent=1,
+            )
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

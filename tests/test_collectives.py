@@ -75,3 +75,29 @@ def test_all_gather_inside_shard_map():
         )(x)
 
     np.testing.assert_allclose(np.asarray(f(x)), x)
+
+
+def test_gather_all_non_leading_axis_sharding():
+    """gather_all must return the ACTUAL per-device shards, not assume
+    contiguous leading-axis slices: shard along axis 1 and check each
+    returned piece is the true device-local block."""
+    mesh = make_mesh(MeshSpec(data=4, view=2))
+    x = np.arange(4 * 8, dtype=np.float32).reshape(4, 8)
+    xs = jax.device_put(x, NamedSharding(mesh, P("view", "data")))
+    parts = gather_all(xs)
+    assert len(parts) == 8
+    assert all(p.shape == (2, 2) for p in parts)
+    # every element appears exactly once across the shards
+    flat = np.sort(np.concatenate([np.asarray(p).ravel() for p in parts]))
+    np.testing.assert_allclose(flat, np.arange(32, dtype=np.float32))
+
+
+def test_gather_all_replicated_and_unsharded():
+    mesh = make_mesh(MeshSpec(data=8, view=1))
+    x = np.arange(4, dtype=np.float32)
+    xr = jax.device_put(x, NamedSharding(mesh, P()))  # replicated
+    parts = gather_all(xr)
+    assert len(parts) == 8
+    for p in parts:
+        np.testing.assert_allclose(np.asarray(p), x)
+    assert len(gather_all(jnp.asarray(x))) == 1  # single device

@@ -31,10 +31,27 @@ def get_arg_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _honor_platform_env() -> None:
+    """Re-apply $JAX_PLATFORMS after import.
+
+    Some images preload jax via sitecustomize and pin ``jax_platforms``
+    (e.g. to a tunneled TPU), which silently overrides the user's shell
+    ``JAX_PLATFORMS=cpu``.  Restore the standard env-var contract so CPU
+    smoke runs really run on CPU."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def main(args=None) -> None:
     if args is None:
         args = get_arg_parser().parse_args()
 
+    _honor_platform_env()
     from viewfusion_tpu.parallel.mesh import initialize_distributed
     from viewfusion_tpu.training.trainer import Experiment
     from viewfusion_tpu.utils.cache import enable_compilation_cache

@@ -207,6 +207,13 @@ class TrainConfig:
     # (utils/compute_metrics.py) — the reference's eval image folders
     # (utils/compute_metrics.py:10) were produced by ad-hoc code.
     eval_dump_images: bool = False
+    # Exact-epoch eval: iterate the test shards exactly once per eval
+    # (resampling off; final partial batch padded + masked) so PSNR/SSIM
+    # cover each test sample exactly once.  Default False matches the
+    # reference's resampled-stream `.with_epoch(size)` semantics
+    # (experiment.py:198-208).  Single-process only (per-host shard
+    # subsets would finish at different step counts).
+    eval_exact_epoch: bool = False
     # Packed training: run the UNet on exactly sum(view_count) rows
     # (stratified per-batch view counts keep the row budget static) —
     # ~1.7x fewer UNet FLOPs at max_views=6 vs the dense masked layout.

@@ -205,15 +205,24 @@ class Batcher:
     modes) — the static-shape equivalent of the reference's per-sample
     ragged slicing (model/view_fusion.py:249-251), and it cuts
     host->device transfer ~4x at max_views=6.
+
+    ``pad_final=True`` (exact-epoch eval) emits the trailing partial
+    batch too, padded to the static batch size by repeating its last
+    sample, with an ``eval_mask`` key (1.0 = real sample, 0.0 = pad) so
+    metrics can weight out the padding; full batches then carry an
+    all-ones mask.  Default (False) drops the partial batch — the
+    reference WebLoader's behavior.
     """
 
     def __init__(self, stream, batch_size: int,
                  n_cond_views: Optional[int] = None,
-                 keys: Optional[List[str]] = None):
+                 keys: Optional[List[str]] = None,
+                 pad_final: bool = False):
         self.stream = stream
         self.batch_size = batch_size
         self.n_cond_views = n_cond_views
         self.keys = keys
+        self.pad_final = pad_final
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batch: List[Dict[str, np.ndarray]] = []
@@ -222,6 +231,12 @@ class Batcher:
             if len(batch) == self.batch_size:
                 yield self._collate(batch)
                 batch = []
+        if batch and self.pad_final:
+            real = len(batch)
+            batch = batch + [batch[-1]] * (self.batch_size - real)
+            out = self._collate(batch)
+            out["eval_mask"][real:] = 0.0
+            yield out
 
     def _collate(self, batch) -> Dict[str, np.ndarray]:
         keys = self.keys or [k for k in batch[0] if k != "scene_hash"]
@@ -234,6 +249,8 @@ class Batcher:
                 )
             out[k] = stacked
         out["scene_hash"] = [s["scene_hash"] for s in batch]
+        if self.pad_final:
+            out["eval_mask"] = np.ones(len(batch), np.float32)
         return out
 
 

@@ -59,13 +59,26 @@ def reduce_dict(input_dict: Dict[str, jnp.ndarray],
 
 
 def gather_all(x: jnp.ndarray) -> List[jnp.ndarray]:
-    """Per-shard list of a sharded global array (reference
-    utils/dist.py:58-66 returned one tensor per rank)."""
-    n = max(1, len(getattr(x.sharding, "device_set", [None])))
-    if x.ndim == 0 or n <= 1 or x.shape[0] % n != 0:
+    """One tensor per device of a sharded global array (the reference's
+    dist.all_gather returned one tensor per rank, utils/dist.py:58-66).
+
+    Uses the array's ACTUAL shards (``addressable_shards``, ordered by
+    device id) rather than assuming devices map to contiguous
+    leading-axis slices — correct for any sharding, including
+    non-leading-axis and replicated layouts.  On multi-host, where some
+    shards are remote, falls back to one tensor per process via
+    ``multihost_utils.process_allgather``."""
+    x = jnp.asarray(x)
+    sharding = getattr(x, "sharding", None)
+    if sharding is None or len(sharding.device_set) <= 1:
         return [x]
-    chunk = x.shape[0] // n
-    return [x[i * chunk : (i + 1) * chunk] for i in range(n)]
+    if x.is_fully_addressable:
+        shards = sorted(x.addressable_shards, key=lambda s: s.device.id)
+        return [jnp.asarray(s.data) for s in shards]
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(x)
+    return [gathered[i] for i in range(gathered.shape[0])]
 
 
 # --- shard_map-internal variants ------------------------------------

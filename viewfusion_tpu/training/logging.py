@@ -52,6 +52,25 @@ class MetricLogger:
         if self.run_id is None:
             self.run_id = generate_run_id()
 
+    def best_metric_summary(self) -> Optional[Dict[str, float]]:
+        """Max ssim/psnr from the wandb run summary, for resume: the
+        reference OVERWRITES checkpoint-restored best_metrics from
+        ``wandb.run.summary`` when wandb is enabled (experiment.py:226-232).
+        Returns None when wandb is off (JSONL-only runs restore from the
+        checkpoint sidecar alone)."""
+        if self.wandb is None:
+            return None
+        out: Dict[str, float] = {}
+        for key in ("ssim", "psnr"):
+            v = self.wandb.run.summary.get(key)
+            if v is None:
+                out[key] = float("-inf")
+            elif hasattr(v, "get"):  # define_metric summary dict {"max": x}
+                out[key] = float(v.get("max", float("-inf")))
+            else:
+                out[key] = float(v)
+        return out
+
     def log(self, metrics: Dict[str, Any], step: int) -> None:
         if not self.is_host0 or not metrics:
             return

@@ -332,19 +332,33 @@ class Experiment:
 
         testset_size = cfg.data.test.size
         self.epoch_size = max(1, testset_size // self.local_batch_size)
+        exact = cfg.train.eval_exact_epoch
+        if exact and nproc > 1:
+            raise ValueError(
+                "tpu.eval_exact_epoch requires a single process: per-host "
+                "shard subsets drain at different batch counts, which "
+                "would deadlock the global-array eval collectives"
+            )
 
         def val_loader():
             stream = create_nmr_stream(
                 cfg.data.test, shuffle_buffer=0, seed=seed + 1,
                 host_id=jax.process_index(), num_hosts=nproc,
-                resample=True, relative=self.relative,
+                resample=not exact, relative=self.relative,
             )
             it = iter(Batcher(stream, self.local_batch_size,
                               n_cond_views=self.max_views,
                               keys=["target", self.cond_key,
-                                    self.angle_key]))
-            for _ in range(self.epoch_size):
-                yield next(it)
+                                    self.angle_key],
+                              pad_final=exact))
+            if exact:
+                # one full pass over the shards, every sample exactly once
+                yield from it
+            else:
+                # reference semantics: first epoch_size batches of the
+                # reshuffled infinite stream (.with_epoch equivalent)
+                for _ in range(self.epoch_size):
+                    yield next(it)
 
         self.val_loader = val_loader
 
@@ -368,6 +382,8 @@ class Experiment:
             self.angle_key: np.asarray(batch[self.angle_key]).reshape(-1),
             "view_count": view_count.astype(np.int32),
         }
+        if "eval_mask" in batch:  # exact-epoch eval padding mask
+            prepped["eval_mask"] = batch["eval_mask"]
         if packed_idx is not None:
             prepped["sample_idx"], prepped["view_idx"] = packed_idx
         return make_global_batch(prepped, self.mesh)
@@ -418,6 +434,12 @@ class Experiment:
         cfg = self.config.train
         acc_loss = []
         step_t0 = None
+
+        # wandb-resume parity: the run summary's max metrics take
+        # precedence over the checkpoint sidecar (experiment.py:226-232).
+        summary_best = self.logger.best_metric_summary()
+        if summary_best is not None:
+            self.best_metrics.update(summary_best)
 
         # Preemption safety (no reference equivalent — torch runs just
         # die): SIGTERM requests a final rolling checkpoint at the next
@@ -553,7 +575,7 @@ class Experiment:
         """Full-generation metric eval + best-model checkpointing
         (experiment.py:314-391)."""
         print("Running metric evaluation...")
-        ssims, psnrs = [], []
+        ssims, psnrs, weights = [], [], []
         packed = self.config.train.packed_views
         for val_batch in self.val_loader():
             if packed:
@@ -572,23 +594,32 @@ class Experiment:
             )
             gen = self._eval_samples(key, device_batch)
             target = device_batch["target"]
-            ssims.append(compute_ssim(gen, target))
-            psnrs.append(compute_psnr(gen, target))
+            # eval_mask weights padded rows of the exact-epoch final
+            # batch to zero; ordinary batches weight every row 1.
+            mask = device_batch.get(
+                "eval_mask", jnp.ones(gen.shape[0], jnp.float32)
+            )
+            ssims.append(jnp.sum(compute_ssim(gen, target) * mask))
+            psnrs.append(jnp.sum(compute_psnr(gen, target) * mask))
+            weights.append(jnp.sum(mask))
             if self.config.train.eval_dump_images and self.is_host0:
                 if jax.process_count() > 1:
                     print("eval_dump_images skipped: arrays span "
                           "non-addressable devices on multi-host")
                 else:
-                    self._dump_eval_images(gen, target, len(ssims) - 1)
+                    self._dump_eval_images(gen, target, len(ssims) - 1,
+                                           mask=np.asarray(mask))
 
         # Global means: arrays are mesh-global, so these reductions are
         # XLA collectives — replaces barrier+reduce_dict
         # (experiment.py:347-366).
-        ssim = float(jnp.mean(jnp.concatenate(ssims)))
-        psnr = float(jnp.mean(jnp.concatenate(psnrs)))
+        self.last_eval_count = float(jnp.sum(jnp.stack(weights)))
+        ssim = float(jnp.sum(jnp.stack(ssims)) / self.last_eval_count)
+        psnr = float(jnp.sum(jnp.stack(psnrs)) / self.last_eval_count)
         self.log_dict["ssim"] = ssim
         self.log_dict["psnr"] = psnr
-        print(f"eval: ssim={ssim:.4f} psnr={psnr:.2f}")
+        print(f"eval: ssim={ssim:.4f} psnr={psnr:.2f} "
+              f"(n={int(self.last_eval_count)})")
 
         if self.args.train:
             best_cnt = 0
@@ -609,7 +640,8 @@ class Experiment:
                 self.checkpoint.save("best_model_all.msgpack", self.state,
                                      **extra)
 
-    def _dump_eval_images(self, gen, target, batch_idx: int) -> None:
+    def _dump_eval_images(self, gen, target, batch_idx: int,
+                          mask=None) -> None:
         """Write generated/target PNG pairs for the offline metric CLI."""
         from viewfusion_tpu.utils.image import save_png
 
@@ -621,6 +653,8 @@ class Experiment:
         gen = np.asarray(gen)
         target = np.asarray(target)
         for i in range(gen.shape[0]):
+            if mask is not None and mask[i] == 0.0:
+                continue  # exact-epoch padding row
             stem = f"{batch_idx:04d}-{i:04d}.png"
             save_png(np.clip(gen[i], 0, 1), os.path.join(gdir, stem))
             save_png(target[i], os.path.join(tdir, stem))
@@ -701,12 +735,21 @@ class Experiment:
         target = batch["target"]
         cond = batch["cond"]  # full 23 stored views, absolute mode
         angle = np.asarray(batch["angle"]).reshape(-1)
-        total = cond.shape[1]
-        view_count = self.rng.integers(self.max_views + 1, total + 1,
-                                       (target.shape[0],))
+        view_count = self._sample_extrapolate_counts(
+            target.shape[0], cond.shape[1]
+        )
         out = self._generate_np(cond, view_count, angle, key_salt=1)
         self._grid_output(out.ret_arr, target, cond, view_count,
                           "extrapolate")
+
+    def _sample_extrapolate_counts(self, n: int, total: int) -> np.ndarray:
+        """U{max_views+1 .. total}: ``total`` is the number of STORED
+        cond views (23 = the 24 NMR views minus the target), so the top
+        draw uses every stored view — exactly the reference's
+        ``randint(max_views+1, 24)`` with its exclusive high bound
+        (experiment.py:477).  Bounds pinned by
+        tests/test_trainer.py::test_extrapolate_count_bounds."""
+        return self.rng.integers(self.max_views + 1, total + 1, (n,))
 
     def autoregressive(self) -> None:
         """3D-consistent orbit: generate 24 views in sequence, appending
