@@ -47,6 +47,20 @@ def test_packed_loss_equals_dense(tiny_config, rng):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_stratified_multiset_work_matched():
+    """sum(counts) matches the reference's expected per-step row count
+    b*(max_views+1)/2 (experiment.py:277-279) to within 0.5 rows."""
+    from viewfusion_tpu.training.trainer import stratified_count_multiset
+
+    for b, n in [(28, 6), (8, 6), (12, 6), (7, 6), (28, 4), (5, 3),
+                 (112, 6), (1, 6), (9, 6)]:
+        c = stratified_count_multiset(b, n)
+        assert len(c) == b and c.min() >= 1 and c.max() <= n
+        assert abs(int(c.sum()) - b * (n + 1) / 2) <= 0.5
+        if (b % n) % 2 == 0:  # even remainder pairs exactly
+            assert int(c.sum()) * 2 == b * (n + 1)
+
+
 def test_stratified_counts_static_sum():
     class FakeExp:
         max_views = 6

@@ -56,8 +56,29 @@ def _load_lib():
     return lib
 
 
+def _try_build() -> bool:
+    """Build libvfloader.so from source if a toolchain is present.
+
+    The .so is a build artifact (not committed); a fresh checkout on a
+    machine with g++ self-heals here so the native path is active
+    without a manual native/build.sh step."""
+    src_dir = os.path.dirname(lib_path())
+    script = os.path.join(src_dir, "build.sh")
+    if not os.path.exists(os.path.join(src_dir, "vfloader.cpp")):
+        return False
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["bash", script], capture_output=True, timeout=120, check=True,
+        )
+        return os.path.exists(lib_path())
+    except Exception:
+        return False
+
+
 def native_available() -> bool:
-    if not os.path.exists(lib_path()):
+    if not os.path.exists(lib_path()) and not _try_build():
         return False
     try:
         _load_lib()

@@ -50,7 +50,32 @@ from viewfusion_tpu.training.logging import MetricLogger
 from viewfusion_tpu.training.schedulers import lr_schedule
 from viewfusion_tpu.utils.image import make_grid, to_uint8
 
-__all__ = ["Experiment", "TrainState"]
+__all__ = ["Experiment", "TrainState", "stratified_count_multiset"]
+
+
+def stratified_count_multiset(b: int, max_views: int) -> np.ndarray:
+    """The packed path's per-batch view-count multiset: each of
+    1..max_views floor(b / max_views) times, with the b % max_views
+    remainder filled by end-paired values (1, max_views, 2,
+    max_views-1, ...) so the multiset mean stays (max_views + 1) / 2 —
+    the mean of the reference's iid U{1..max_views} draw
+    (experiment.py:277-279).  sum(counts) is therefore both static
+    across batches (static packed shapes under jit) and work-matched to
+    the reference's expected sum(view_count) per step."""
+    counts = np.resize(np.arange(1, max_views + 1), b)
+    r = b % max_views
+    if r:
+        lo, hi = 1, max_views
+        tail = []
+        while len(tail) < r:
+            if r - len(tail) == 1:
+                tail.append((max_views + 2) // 2)  # round(mean)
+                break
+            tail.append(lo)
+            tail.append(hi)
+            lo, hi = lo + 1, hi - 1
+        counts[-r:] = tail
+    return counts
 
 
 class TrainState(struct.PyTreeNode):
@@ -394,10 +419,10 @@ class Experiment:
 
     def _sample_view_count_stratified(self, n: int) -> np.ndarray:
         """Fixed per-batch count multiset (each of 1..max_views equally
-        often, remainder round-robin), randomly permuted — keeps
+        often, remainder end-paired), randomly permuted — keeps
         sum(view_count) static for the packed train step while matching
         the uniform marginal distribution in expectation."""
-        counts = np.resize(np.arange(1, self.max_views + 1), n)
+        counts = stratified_count_multiset(n, self.max_views)
         self.rng.shuffle(counts)
         return counts
 
@@ -414,7 +439,7 @@ class Experiment:
         rng = np.random.default_rng(
             [self.config.train.seed, 0x9E37, salt]
         )
-        counts = np.resize(np.arange(1, self.max_views + 1), gb)
+        counts = stratified_count_multiset(gb, self.max_views)
         rng.shuffle(counts)
         si, vi = self._packed_indices(counts)
         h = jax.process_index()
