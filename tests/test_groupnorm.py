@@ -77,6 +77,39 @@ def test_gradients_match_flax(rng, act, use_pallas):
         )
 
 
+@pytest.mark.parametrize("act", ["none", "silu"])
+@pytest.mark.parametrize("shape", SHAPES)
+def test_dot_impl_matches_flax(rng, shape, act, monkeypatch):
+    """The VF_GN_IMPL=dot escape hatch (split lane-friendly reduction;
+    measured slower than flax on v5e but kept selectable)."""
+    monkeypatch.setenv("VF_GN_IMPL", "dot")
+    b, h, w, c, g = shape
+    x = _rand(rng, (b, h, w, c))
+    scale = _rand(rng, (c,))
+    bias = _rand(rng, (c,))
+    got = group_norm_act(x, scale, bias, groups=g, eps=1e-5, act=act)
+    want = _flax_oracle(x, scale, bias, g, 1e-5, act)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    wgt = _rand(rng, (b, h, w, c))
+    got_g = jax.grad(
+        lambda x_, s_, b_: jnp.sum(
+            group_norm_act(x_, s_, b_, groups=g, act=act) * wgt
+        ),
+        argnums=(0, 1, 2),
+    )(x, scale, bias)
+    want_g = jax.grad(
+        lambda x_, s_, b_: jnp.sum(
+            _flax_oracle(x_, s_, b_, g, 1e-5, act) * wgt
+        ),
+        argnums=(0, 1, 2),
+    )(x, scale, bias)
+    for gv, wv, name in zip(got_g, want_g, ("dx", "dscale", "dbias")):
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(wv),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
+
+
 @pytest.mark.parametrize("use_pallas", [False, True])
 def test_bfloat16_io(rng, use_pallas):
     b, h, w, c, g = 2, 8, 8, 32, 8

@@ -325,33 +325,73 @@ def _xla_gn_act(x, scale, bias, groups, eps, act):
     return _act_fwd(y, act).astype(x.dtype)
 
 
+def _xla_gn_act_dot(x3, scale, bias, groups, eps, act):
+    """GroupNorm with a split, lane-friendly statistics reduction:
+    a spatial sum that keeps all C channels in lanes (VPU-parallel),
+    then a tiny exact (B, C) -> (B, G) combine.  (NOT a one-hot matmul:
+    on TPU that would ride the MXU at bf16 input precision and corrupt
+    the statistics.)
+
+    MEASURED NEGATIVE RESULT, kept as a documented escape hatch
+    (VF_GN_IMPL=dot): on the flagship packed step this runs 8.60
+    steps/s vs flax's 9.00 — the split reduction prevents XLA from
+    fusing the stats pass into the producing ops, and that fusion is
+    worth more than the lane-friendlier reduction shape."""
+    b, l, c = x3.shape
+    cg = c // groups
+    xf = x3.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=1)        # (B, C): per-channel spatial sums
+    s2 = jnp.sum(xf * xf, axis=1)   # fused with s1 by XLA (one pass)
+    gs1 = s1.reshape(b, groups, cg).sum(axis=-1)   # (B, G), exact f32
+    gs2 = s2.reshape(b, groups, cg).sum(axis=-1)
+    n = l * cg
+    mean_g = gs1 / n
+    var_g = jnp.maximum(gs2 / n - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, cg, axis=1)[:, None, :]   # (B, 1, C)
+    rstd_c = jnp.repeat(rstd_g, cg, axis=1)[:, None, :]
+    sc = scale.astype(jnp.float32) * rstd_c
+    z = xf * sc - (mean_c * sc - bias.astype(jnp.float32))
+    return _act_fwd(z, act).astype(x3.dtype)
+
+
 # ---------------------------------------------------------------------
 # public op with custom VJP
 # ---------------------------------------------------------------------
 def _dispatch(use_pallas):
-    """Resolve (run_pallas, interpret) from the tri-state flag.
+    """Resolve the implementation name from the flag + environment.
 
-    ``VF_GN_PALLAS=0/1`` overrides the default dispatch (measurement
-    escape hatch; see README perf notes for the measured step-time
-    delta that set the default)."""
+    Returns one of "pallas", "pallas-interpret", "dot", "flax".
+    ``VF_GN_PALLAS=0/1`` and ``VF_GN_IMPL=pallas|dot|flax`` override
+    (measurement escape hatches; see README perf notes for the measured
+    step-time deltas that set the default)."""
+    import os
+
     if use_pallas is None:
-        import os
-
         env = os.environ.get("VF_GN_PALLAS")
         if env is not None:
             use_pallas = env not in ("0", "false", "")
         else:
-            # MEASURED default (BENCH r2, flagship packed step on v5e):
-            # the XLA path runs 8.86 steps/s vs 8.20 with this kernel —
-            # XLA fuses its GroupNorm into neighboring ops, which the
-            # custom-call boundary forbids, and that fusion is worth
-            # more than the kernel's fewer HBM passes.  The kernel
-            # remains available (VF_GN_PALLAS=1 / use_pallas=True) and
-            # tested; revisit if the surrounding graph changes.
-            return False, False
+            impl = os.environ.get("VF_GN_IMPL")
+            if impl in ("pallas", "dot", "flax"):
+                if impl != "pallas":
+                    return impl
+                use_pallas = True
+            else:
+                # MEASURED default (flagship packed step, v5e, best of
+                # 3x30-step windows each): flax 9.00 steps/s > dot 8.60
+                # > Pallas kernel 8.20.  XLA's own GroupNorm lowering
+                # fuses the statistics pass into its producers, which
+                # both the split-reduction "dot" formulation and the
+                # Pallas custom-call boundary forbid — that fusion is
+                # worth more than their narrower reductions.  Both
+                # alternatives remain available (VF_GN_IMPL /
+                # VF_GN_PALLAS) and tested; revisit if the surrounding
+                # graph changes.
+                return "flax"
     if use_pallas and jax.default_backend() != "tpu":
-        return True, True  # kernel-math validation on CPU
-    return bool(use_pallas), False
+        return "pallas-interpret"  # kernel-math validation on CPU
+    return "pallas" if use_pallas else "flax"
 
 
 # The custom VJP wraps ONLY the Pallas path: on the XLA path the plain
@@ -407,9 +447,12 @@ def group_norm_act(
         raise ValueError(f"unsupported act {act!r}")
     b, c = x.shape[0], x.shape[-1]
     x3 = x.reshape(b, -1, c)
-    run_pallas, interpret = _dispatch(use_pallas)
-    if run_pallas:
-        y = _gn_act_pallas(x3, scale, bias, groups, eps, act, interpret)
+    impl = _dispatch(use_pallas)
+    if impl in ("pallas", "pallas-interpret"):
+        y = _gn_act_pallas(x3, scale, bias, groups, eps, act,
+                           impl == "pallas-interpret")
+    elif impl == "dot":
+        y = _xla_gn_act_dot(x3, scale, bias, groups, eps, act)
     else:
         y = _xla_gn_act(x3, scale, bias, groups, eps, act)
     return y.reshape(x.shape)
