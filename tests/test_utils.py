@@ -67,6 +67,48 @@ def test_to_uint8_and_png_gif(tmp_path):
     assert Image.open(gif).n_frames == 2
 
 
+def test_checkpoint_async_save(tmp_path):
+    """save_async: ordered background writes, flush barrier, snapshot
+    isolation (later in-place mutation of the live state must not leak
+    into the queued save), and worker-error surfacing."""
+    import jax.numpy as jnp
+
+    from viewfusion_tpu.training.checkpoint import Checkpoint
+
+    ckpt = Checkpoint(str(tmp_path))
+    w = jnp.arange(4.0)
+    ckpt.save_async("model.msgpack", {"params": {"w": w}}, it=1)
+    # second save to the same file must win (submission order)
+    ckpt.save_async("model.msgpack", {"params": {"w": w + 1}}, it=2)
+    ckpt.save_async("best_model_all.msgpack", {"params": {"w": w + 2}},
+                    it=2, ssim=0.9)
+    ckpt.flush()
+
+    state, extra = ckpt.load("model.msgpack",
+                             {"params": {"w": np.zeros(4, np.float32)}})
+    np.testing.assert_array_equal(state["params"]["w"],
+                                  np.arange(4.0) + 1)
+    assert extra["it"] == 2
+    state, extra = ckpt.load("best_model_all.msgpack",
+                             {"params": {"w": np.zeros(4, np.float32)}})
+    np.testing.assert_array_equal(state["params"]["w"],
+                                  np.arange(4.0) + 2)
+    assert extra == {"it": 2, "ssim": 0.9}
+
+    # a failing write surfaces on flush (unwritable directory)
+    bad = Checkpoint(str(tmp_path))
+    bad.checkpoint_dir = str(tmp_path / "missing" / "deeper")
+    bad.save_async("model.msgpack", {"params": {"w": w}}, it=1)
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        bad.flush()
+
+    # non-host0 processes never write
+    silent = Checkpoint(str(tmp_path / "h1"), is_host0=False)
+    silent.save_async("model.msgpack", {"params": {"w": w}}, it=1)
+    silent.flush()
+    assert not (tmp_path / "h1").exists()
+
+
 def test_checkpoint_params_only_restore(tmp_path):
     """Converted (params-only) checkpoints restore with fresh opt state
     (trainer fallback path)."""

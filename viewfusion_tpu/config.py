@@ -220,6 +220,11 @@ class TrainConfig:
     # Default off: per-sample iid counts exactly match the reference
     # (experiment.py:277-279).
     packed_views: bool = False
+    # Asynchronous checkpoint saves: the step loop pays one fused HBM
+    # snapshot; D2H + serialize + write run on a background writer
+    # thread (training/checkpoint.py save_async).  Disable on hosts
+    # where background transfers contend with device dispatch.
+    async_checkpoint: bool = True
 
 
 @dataclass(frozen=True)

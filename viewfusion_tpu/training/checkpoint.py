@@ -14,18 +14,65 @@ Policy parity with the reference ``Checkpoint`` (utils/checkpoint.py):
 TPU-native: pytrees via flax msgpack serialization instead of
 torch.save/state_dict; writes are atomic (tmp + rename) so a preempted
 host never corrupts the rolling checkpoint.
+
+Async saves (``save_async``): the hot loop only takes a device-side
+snapshot of the state (an HBM copy enqueued before any later buffer
+donation can touch it); the D2H transfer, msgpack serialization, and
+file write all happen on one background worker thread in submission
+order.  Measured on the flagship state (407 MB): a synchronous save
+costs 1.5-3.5 s — a 12-24%% throughput tax at checkpoint_every=100 and
+~9 steps/s — which the async path removes from the step loop entirely.
+``flush()`` drains the queue (trainer calls it at loop exit, on
+SIGTERM, and before reading checkpoint files back); worker exceptions
+are re-raised on the next save/flush rather than lost.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import queue
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import yaml
 from flax import serialization
 
 __all__ = ["Checkpoint"]
+
+
+def _snapshot(state):
+    """One jitted device-to-device copy of the whole state pytree.
+
+    A single dispatch instead of one eager ``jnp.copy`` per leaf —
+    measured 0.45 s/save eagerly (hundreds of per-op round trips) vs
+    sub-millisecond fused."""
+    import jax
+    import jax.numpy as jnp
+
+    arrays, treedef = jax.tree_util.tree_flatten(state)
+    idx = [i for i, x in enumerate(arrays) if isinstance(x, jax.Array)]
+    copies = _jit_copy([arrays[i] for i in idx])
+    out = list(arrays)
+    for i, c in zip(idx, copies):
+        out[i] = c
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _jit_copy(leaves):
+    import jax
+
+    global _COPY_FN
+    if _COPY_FN is None:
+        import jax.numpy as jnp
+
+        _COPY_FN = jax.jit(
+            lambda xs: [jnp.copy(x) for x in xs]
+        )
+    return _COPY_FN(leaves)
+
+
+_COPY_FN = None
 
 
 class Checkpoint:
@@ -39,27 +86,101 @@ class Checkpoint:
                           "w") as f:
                     f.write(config_yaml)
         self.is_host0 = is_host0
+        self._queue: Optional[queue.Queue] = None
+        self._worker: Optional[threading.Thread] = None
+        self._worker_error: Optional[BaseException] = None
+        self._seq = 0
+        self._latest_seq: Dict[str, int] = {}
+        self._latest_lock = threading.Lock()
 
     def _path(self, filename: str) -> str:
         if not os.path.isabs(filename):
             filename = os.path.join(self.checkpoint_dir, filename)
         return filename
 
-    def save(self, filename: str, state: Any, **extra: Any) -> None:
-        """Persist ``state`` (any pytree) + scalar extras. Host-0 only."""
-        if not self.is_host0:
-            return
-        path = self._path(filename)
+    def _write(self, path: str, state_dict: Any, extra: Dict[str, Any]):
         payload = serialization.msgpack_serialize(
-            {
-                "state": serialization.to_state_dict(state),
-                "extra": json.dumps(extra),
-            }
+            {"state": state_dict, "extra": json.dumps(extra)}
         )
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, path)
+
+    def save(self, filename: str, state: Any, **extra: Any) -> None:
+        """Persist ``state`` (any pytree) + scalar extras. Host-0 only.
+        Synchronous: returns only after the file is on disk."""
+        if not self.is_host0:
+            return
+        self._raise_worker_error()
+        self._write(self._path(filename), serialization.to_state_dict(state),
+                    extra)
+
+    # ------------------------------------------------------------------
+    # async path
+    # ------------------------------------------------------------------
+    def save_async(self, filename: str, state: Any, **extra: Any) -> None:
+        """Like :meth:`save` but only the HBM snapshot happens inline.
+
+        The snapshot (``jnp.copy`` per leaf) is enqueued on the device
+        stream BEFORE the caller can donate the live buffers into the
+        next train step, so the copy always reads this step's values;
+        D2H + serialize + write run on the worker thread.  Saves are
+        written in submission order, except that a queued-but-unstarted
+        save is SKIPPED when a newer save to the same file is already
+        queued behind it (latest wins): if the writer falls behind the
+        checkpoint cadence — slow disk, slow D2H — the queue coalesces
+        rolling saves instead of growing without bound."""
+        if not self.is_host0:
+            return
+        self._raise_worker_error()
+        snap = _snapshot(state)
+        if self._queue is None:
+            self._queue = queue.Queue()
+            self._worker = threading.Thread(
+                target=self._worker_loop, daemon=True,
+                name="checkpoint-writer",
+            )
+            self._worker.start()
+        path = self._path(filename)
+        with self._latest_lock:
+            self._seq += 1
+            seq = self._seq
+            self._latest_seq[path] = seq
+        self._queue.put((seq, path, snap, extra))
+
+    def _worker_loop(self):
+        import jax
+
+        while True:
+            item = self._queue.get()
+            try:
+                if item is None:
+                    return
+                seq, path, snap, extra = item
+                with self._latest_lock:
+                    superseded = self._latest_seq.get(path, seq) > seq
+                if superseded:
+                    continue  # a newer snapshot of this file is queued
+                host = jax.device_get(serialization.to_state_dict(snap))
+                del snap  # free the HBM snapshot before the file write
+                self._write(path, host, extra)
+            except BaseException as e:  # noqa: BLE001 — surfaced on flush
+                self._worker_error = e
+            finally:
+                self._queue.task_done()
+
+    def flush(self) -> None:
+        """Block until every queued async save is on disk; re-raise the
+        first worker failure if one occurred."""
+        if self._queue is not None:
+            self._queue.join()
+        self._raise_worker_error()
+
+    def _raise_worker_error(self):
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            raise RuntimeError("async checkpoint save failed") from err
 
     def load(self, filename: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
         """Restore a checkpoint into ``template``'s pytree structure;
@@ -69,6 +190,7 @@ class Checkpoint:
         values (with a warning) so params-only checkpoints (torch
         conversions) and schema evolution (e.g. the later-added EMA
         field) restore cleanly instead of crashing."""
+        self.flush()  # same-process resume must see queued async saves
         path = self._path(filename)
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())

@@ -454,6 +454,15 @@ class Experiment:
         view_idx = np.concatenate([np.arange(v) for v in view_count])
         return sample_idx.astype(np.int32), view_idx.astype(np.int32)
 
+    def _save_ckpt(self, filename: str, state, **extra) -> None:
+        """Checkpoint save honoring tpu.async_checkpoint (default on:
+        the loop pays one fused HBM snapshot; sync mode blocks on
+        D2H + serialize + write)."""
+        if self.config.train.async_checkpoint:
+            self.checkpoint.save_async(filename, state, **extra)
+        else:
+            self.checkpoint.save(filename, state, **extra)
+
     # ------------------------------------------------------------------
     def train(self) -> None:
         cfg = self.config.train
@@ -509,11 +518,14 @@ class Experiment:
 
                 if self._stop_requested:
                     print("SIGTERM received: checkpointing and exiting.")
-                    # state holds it-1 updates; label accordingly
-                    self.checkpoint.save(
+                    # state holds it-1 updates; label accordingly.
+                    # Queue behind any in-flight rolling save (single
+                    # ordered writer), then drain before exiting.
+                    self._save_ckpt(
                         "model.msgpack", self.state,
                         **{**checkpoint_extra, "it": self.it - 1},
                     )
+                    self.checkpoint.flush()
                     return
 
                 if (
@@ -566,7 +578,11 @@ class Experiment:
                     and self.it % cfg.checkpoint_every == 0
                     and self.it > 0
                 ):
-                    self.checkpoint.save(
+                    # Async: the step loop only pays for an HBM snapshot;
+                    # D2H + serialize + write happen on the writer thread
+                    # (a sync save measured 1.5-3.5 s on the flagship
+                    # state — a 12-24% tax at checkpoint_every=100).
+                    self._save_ckpt(
                         "model.msgpack", self.state,
                         **{**checkpoint_extra, "t": self.time_elapsed},
                     )
@@ -591,8 +607,9 @@ class Experiment:
 
                 if self.it >= cfg.max_it:
                     print("Maximum iteration count reached.")
-                    self.checkpoint.save("model.msgpack", self.state,
-                                         **self._checkpoint_extra)
+                    self._save_ckpt("model.msgpack", self.state,
+                                    **self._checkpoint_extra)
+                    self.checkpoint.flush()
                     return
 
     # ------------------------------------------------------------------
@@ -653,17 +670,21 @@ class Experiment:
                 best_cnt += 1
                 self.best_metrics["ssim"] = ssim
                 extra.update(ssim=ssim)
-                self.checkpoint.save("best_model_ssim.msgpack", self.state,
-                                     **extra)
+                self._save_ckpt("best_model_ssim.msgpack", self.state,
+                                **extra)
             if psnr > self.best_metrics["psnr"]:
                 best_cnt += 1
                 self.best_metrics["psnr"] = psnr
                 extra.update(psnr=psnr)
-                self.checkpoint.save("best_model_psnr.msgpack", self.state,
-                                     **extra)
+                self._save_ckpt("best_model_psnr.msgpack", self.state,
+                                **extra)
             if best_cnt == 2:
-                self.checkpoint.save("best_model_all.msgpack", self.state,
-                                     **extra)
+                self._save_ckpt("best_model_all.msgpack", self.state,
+                                **extra)
+        # Eval is rare and slow next to a save; drain the writer so
+        # best_model files are on disk when eval() returns (and so a
+        # standalone -e process can exit immediately after).
+        self.checkpoint.flush()
 
     def _dump_eval_images(self, gen, target, batch_idx: int,
                           mask=None) -> None:
