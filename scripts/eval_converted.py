@@ -62,7 +62,6 @@ def main():
     from viewfusion_tpu.config import (
         BetaScheduleConfig, Config, DiffusionConfig, UNetConfig,
     )
-    from viewfusion_tpu.models.unet import UNet as FlaxUNet  # noqa: F401
     from viewfusion_tpu.models.view_fusion import (
         ViewFusion as JaxVF, view_mask,
     )

@@ -2,7 +2,6 @@
 checkpoint round-trip including legacy checkpoints without the field."""
 
 import copy
-import os
 
 import jax
 import numpy as np

@@ -1,6 +1,5 @@
 """LPIPS architecture + offline metric script tests."""
 
-import os
 
 import numpy as np
 import pytest

@@ -1,6 +1,5 @@
 """Remat (activation checkpointing) must not change numerics."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ from __future__ import annotations
 import io
 import os
 import tarfile
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, Iterator, List
 
 __all__ = ["iter_tar_samples", "TarShardWriter", "expand_shard_urls"]
 

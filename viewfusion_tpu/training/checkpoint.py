@@ -35,7 +35,6 @@ import queue
 import threading
 from typing import Any, Dict, Optional, Tuple
 
-import yaml
 from flax import serialization
 
 __all__ = ["Checkpoint"]

@@ -35,7 +35,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from viewfusion_tpu.config import Config, load_config
+from viewfusion_tpu.config import load_config
 from viewfusion_tpu.data.nmr import Batcher, create_nmr_stream, prefetch
 from viewfusion_tpu.models.view_fusion import ViewFusion
 from viewfusion_tpu.ops.metrics import compute_psnr, compute_ssim
