@@ -39,6 +39,8 @@ def main():
     p.add_argument("--quick", action="store_true")
     p.add_argument("--timesteps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=28)
+    p.add_argument("--gen-batch", type=int, default=8)
+    p.add_argument("--out", default=None)
     args = p.parse_args()
 
     import jax
@@ -90,7 +92,13 @@ def main():
     cfg = Config.from_dict(cfg_dict)
     model = ViewFusion.from_config(cfg)
 
-    b, n, hw = (4 if args.quick else args.batch), cfg.data.max_views, 64
+    # Chain batch is capped separately from the attention microbench:
+    # a single T=2000 execution at batch 28 runs ~73 s on-device, which
+    # exceeds the tunneled dev rig's per-execution limit (it aborts with
+    # UNAVAILABLE).  Batch 8 keeps one execution ~21 s and views/s is
+    # batch-normalized anyway; --gen-batch overrides on real hosts.
+    b = 4 if args.quick else args.gen_batch
+    n, hw = cfg.data.max_views, 64
     rng = np.random.default_rng(0)
     y0 = jnp.asarray(rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32))
     cond = jnp.asarray(rng.uniform(0, 1, (b, n, hw, hw, 3)).astype(
@@ -140,16 +148,22 @@ def main():
     log(f"ddim-50 sampling: {ddim_dt:.2f}s/batch -> "
         f"{b / ddim_dt:.2f} samples/s, {b * n / ddim_dt:.1f} views/s")
 
-    print(
-        {
-            "samples_per_sec": round(samples_per_sec, 4),
-            "views_per_sec": round(views_per_sec, 3),
-            "seconds_per_batch": round(dt, 3),
-            "timesteps": args.timesteps,
-            "ddim50_samples_per_sec": round(b / ddim_dt, 3),
-            "ddim50_views_per_sec": round(b * n / ddim_dt, 2),
-        }
-    )
+    import json
+
+    out = {
+        "samples_per_sec": round(samples_per_sec, 4),
+        "views_per_sec": round(views_per_sec, 3),
+        "seconds_per_batch": round(dt, 3),
+        "timesteps": args.timesteps,
+        "batch": b,
+        "ddim50_samples_per_sec": round(b / ddim_dt, 3),
+        "ddim50_views_per_sec": round(b * n / ddim_dt, 2),
+    }
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        log(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
