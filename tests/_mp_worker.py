@@ -139,6 +139,28 @@ def main() -> None:
     psnr = compute_psnr(gb["target"], gb["target"] * 0.9 + 0.05)
     psnr_mean = float(jnp.mean(psnr))
 
+    # --- gather_all on a non-fully-addressable global array -----------
+    from viewfusion_tpu.parallel.collectives import gather_all
+
+    per_proc = gather_all(gb["angle"])
+    assert len(per_proc) == 2, len(per_proc)  # one tensor per process
+    got = np.concatenate([np.asarray(t) for t in per_proc])
+    np.testing.assert_allclose(got, g_angle, rtol=1e-6)
+
+    # --- checkpoint save on multi-host state (sync fallback: a jitted
+    # snapshot from host 0 alone would deadlock; save_async must detect
+    # the non-fully-addressable leaves and write synchronously) --------
+    import tempfile
+
+    from viewfusion_tpu.training.checkpoint import Checkpoint
+
+    ckdir = os.path.join(tempfile.gettempdir(), f"mp_ck_{port}")
+    ck = Checkpoint(ckdir, config_yaml="x: 1", is_host0=pid == 0)
+    ck.save_async("model.msgpack", {"params": params}, it=1)
+    ck.flush()
+    if pid == 0:
+        assert os.path.exists(os.path.join(ckdir, "model.msgpack"))
+
     print(f"RESULT {pid} {float(loss):.10f} {float(gnorm):.8f} "
           f"{psnr_mean:.8f}", flush=True)
 

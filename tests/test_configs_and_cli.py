@@ -117,6 +117,27 @@ def test_prep_sharder_roundtrip(tmp_path):
     assert out[0]["all_views"].shape == (4, 8, 8, 3)
 
 
+def test_prep_zero_capacity_single_shard(tmp_path):
+    """limit == 0 (tiny --percent) writes everything into shard 00 and
+    never rotates — the reference's `sample_no == limit` with limit 0
+    never fires (dataset_prep.py:95)."""
+    from viewfusion_tpu.data.prep import get_dataset_size, shard_dataset
+    from viewfusion_tpu.data.tario import iter_tar_samples
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _make_nmr_zip(str(src / "NMR_Dataset.zip"), views=4)
+    sizes = get_dataset_size(str(src))
+
+    # 3 scenes, shard_cnt 4 => round(3)//4 == 0 per-shard capacity
+    dest = shard_dataset(str(src), sizes, str(tmp_path / "zero"),
+                         split="train", percent=100, shard_cnt=4,
+                         views_per_scene=4)
+    shards = sorted(glob.glob(os.path.join(dest, "NMR-train-*.tar")))
+    assert [os.path.basename(s) for s in shards] == ["NMR-train-00.tar"]
+    assert len(list(iter_tar_samples(shards[0]))) == 3
+
+
 def test_prep_withheld_category(tmp_path):
     from viewfusion_tpu.data.prep import get_dataset_size, shard_dataset
     from viewfusion_tpu.data.tario import iter_tar_samples

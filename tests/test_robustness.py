@@ -93,6 +93,48 @@ def test_sigterm_checkpoints_and_exits(tmp_path, tiny_config):
     assert extra["it"] == exp.it - 1  # labels last COMPLETED step
 
 
+def test_crash_flushes_queued_checkpoints(tmp_path, tiny_config):
+    """An exception out of the train loop must still land queued async
+    saves on disk (the writer is a daemon thread; train()'s finally
+    drains it), so resume loses at most checkpoint_every steps."""
+    import copy
+
+    import yaml
+
+    from tests.conftest import TINY_CONFIG
+    from viewfusion_tpu.data.synthetic import make_synthetic_shards
+    from viewfusion_tpu.training.trainer import Experiment, ExperimentArgs
+
+    data_dir = str(tmp_path / "data")
+    make_synthetic_shards(data_dir, "train", num_objects=4, image_size=8)
+    make_synthetic_shards(data_dir, "test", num_objects=4, image_size=8)
+    raw = copy.deepcopy(TINY_CONFIG)
+    for split in ("train", "test"):
+        raw["data"]["params"][split]["params"]["path"] = data_dir
+    raw["data"]["params"]["batch_size"] = 4
+    raw["model"]["validate_every"] = 0
+    raw["model"]["checkpoint_every"] = 2
+    cfg_path = str(tmp_path / "c.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(raw, f)
+
+    exp = Experiment(ExperimentArgs(config=cfg_path, train=True),
+                     log_root=str(tmp_path / "logs"))
+    orig_prep = exp._prep_batch
+
+    def prep(batch, vc, packed_idx=None):
+        if exp.it >= 3:  # after the it=2 rolling save is queued
+            raise RuntimeError("simulated data-pipeline crash")
+        return orig_prep(batch, vc, packed_idx)
+
+    exp._prep_batch = prep
+    with pytest.raises(RuntimeError, match="simulated"):
+        exp.train()
+    # the it=2 async save must be on disk despite the crash
+    _, extra = exp.checkpoint.load("model.msgpack", exp.state)
+    assert extra["it"] == 2
+
+
 def test_packed_dropout_active(rng):
     """loss_packed must apply dropout when configured (review fix)."""
     import copy

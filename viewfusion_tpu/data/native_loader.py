@@ -56,12 +56,21 @@ def _load_lib():
     return lib
 
 
+_BUILD_ATTEMPTED = False
+
+
 def _try_build() -> bool:
     """Build libvfloader.so from source if a toolchain is present.
 
     The .so is a build artifact (not committed); a fresh checkout on a
     machine with g++ self-heals here so the native path is active
-    without a manual native/build.sh step."""
+    without a manual native/build.sh step.  Attempted AT MOST ONCE per
+    process — a failing toolchain must not re-stall every stream
+    construction (the trainer builds a fresh val stream per eval)."""
+    global _BUILD_ATTEMPTED
+    if _BUILD_ATTEMPTED:
+        return os.path.exists(lib_path())
+    _BUILD_ATTEMPTED = True
     src_dir = os.path.dirname(lib_path())
     script = os.path.join(src_dir, "build.sh")
     if not os.path.exists(os.path.join(src_dir, "vfloader.cpp")):

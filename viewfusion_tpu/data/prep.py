@@ -106,7 +106,10 @@ class ShardRotator:
                  planned_shards: int):
         self.dest_dir = dest_dir
         self.split = split
-        self.capacity = max(1, capacity)
+        # capacity == 0 never rotates (everything lands in shard 00) —
+        # the reference's `sample_no == limit` with limit 0 never fires
+        # (dataset_prep.py:95), e.g. tiny --percent runs.
+        self.capacity = capacity
         self.planned = planned_shards
         self._idx = 0
         self._in_shard = 0
@@ -120,7 +123,7 @@ class ShardRotator:
     def write(self, sample: Dict[str, bytes]) -> None:
         self._sink.write(sample)
         self._in_shard += 1
-        if self._in_shard >= self.capacity:
+        if self.capacity > 0 and self._in_shard >= self.capacity:
             self._sink.close()
             self._idx += 1
             self._in_shard = 0

@@ -75,10 +75,25 @@ def gather_all(x: jnp.ndarray) -> List[jnp.ndarray]:
     if x.is_fully_addressable:
         shards = sorted(x.addressable_shards, key=lambda s: s.device.id)
         return [jnp.asarray(s.data) for s in shards]
+    # Multi-host: other processes' shards are not addressable, so gather
+    # HOST-LOCAL data (a numpy array — process_allgather stacks host
+    # arrays along a new leading process axis, which it does NOT do for
+    # global jax Arrays) and return one tensor per process.
+    import numpy as np
+
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(x)
-    return [gathered[i] for i in range(gathered.shape[0])]
+    seen, parts = set(), []
+    for s in sorted(x.addressable_shards, key=lambda s: s.device.id):
+        key = tuple(
+            (sl.start, sl.stop, sl.step) for sl in s.index
+        )  # dedupe replicated copies of the same global slice
+        if key not in seen:
+            seen.add(key)
+            parts.append(np.asarray(s.data))
+    local = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    gathered = multihost_utils.process_allgather(local)
+    return [jnp.asarray(gathered[i]) for i in range(gathered.shape[0])]
 
 
 # --- shard_map-internal variants ------------------------------------

@@ -133,6 +133,19 @@ class Checkpoint:
         if not self.is_host0:
             return
         self._raise_worker_error()
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(state)
+        if any(isinstance(x, jax.Array) and not x.is_fully_addressable
+               for x in leaves):
+            # Multi-host: the state spans remote devices, and a jitted
+            # snapshot dispatched from host 0 alone would violate the
+            # all-processes-participate rule for global arrays.  Fall
+            # back to the synchronous path (np conversion of fully
+            # replicated arrays is single-process-safe).
+            self._write(self._path(filename),
+                        serialization.to_state_dict(state), extra)
+            return
         snap = _snapshot(state)
         if self._queue is None:
             self._queue = queue.Queue()

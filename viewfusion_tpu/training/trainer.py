@@ -496,6 +496,18 @@ class Experiment:
         finally:
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)
+            # Durability on ANY exit, including exceptions out of the
+            # loop: queued async saves must reach disk before the
+            # process dies (the writer is a daemon thread).  Swallow
+            # writer errors here only when already unwinding another
+            # exception.
+            import sys
+
+            try:
+                self.checkpoint.flush()
+            except RuntimeError:
+                if sys.exc_info()[0] is None:
+                    raise
 
     def _train_loop(self, cfg, acc_loss) -> None:
         last_log = [time.perf_counter(), self.it]
