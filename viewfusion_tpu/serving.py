@@ -117,6 +117,21 @@ class ViewFusionService:
         self._worker.start()
 
     # ------------------------------------------------------------------
+    def warmup(self) -> None:
+        """Compile (or load from the persistent cache) the default-steps
+        program before accepting traffic, so the first real request pays
+        steady-state latency instead of minutes of jit compile."""
+        jnp = self._jnp
+        b, hw = self.batch_size, self.image_size
+        out = self._ddim(
+            self.params, self._jax.random.PRNGKey(0),
+            jnp.zeros((b, self.n_max, hw, hw, 3), jnp.float32),
+            jnp.ones((b,), jnp.int32), jnp.zeros((b,), jnp.float32),
+            num_steps=self.default_steps,
+        )
+        self._jax.block_until_ready(out)
+
+    # ------------------------------------------------------------------
     def submit(self, cond: np.ndarray, angle: float,
                steps: Optional[int] = None,
                timeout: Optional[float] = None) -> np.ndarray:
@@ -319,10 +334,13 @@ def make_server(service: ViewFusionService, host: str = "0.0.0.0",
 
 def serve(run_dir: str, host: str = "0.0.0.0", port: int = 8000,
           batch_size: int = 8, default_steps: int = 50,
-          max_views: Optional[int] = None) -> None:
+          max_views: Optional[int] = None, warmup: bool = True) -> None:
     service = ViewFusionService(run_dir, batch_size=batch_size,
                                 default_steps=default_steps,
                                 max_views=max_views)
+    if warmup:
+        print("warming up (compiling the sampler)...", flush=True)
+        service.warmup()
     httpd = make_server(service, host, port)
     print(f"serving {run_dir} on {host}:{httpd.server_address[1]}")
     httpd.serve_forever()
@@ -336,9 +354,11 @@ def main(argv=None) -> None:
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--max-views", type=int, default=None)
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the startup compile of the default sampler")
     args = p.parse_args(argv)
     serve(args.src, args.host, args.port, args.batch_size, args.steps,
-          args.max_views)
+          args.max_views, warmup=not args.no_warmup)
 
 
 if __name__ == "__main__":
