@@ -503,11 +503,13 @@ class Experiment:
             # exception.
             import sys
 
-            try:
-                self.checkpoint.flush()
-            except RuntimeError:
-                if sys.exc_info()[0] is None:
-                    raise
+            ck = getattr(self, "checkpoint", None)  # absent on fakes
+            if ck is not None:
+                try:
+                    ck.flush()
+                except RuntimeError:
+                    if sys.exc_info()[0] is None:
+                        raise
 
     def _train_loop(self, cfg, acc_loss) -> None:
         last_log = [time.perf_counter(), self.it]
