@@ -95,6 +95,33 @@ def test_checkpoint_async_save(tmp_path):
                                   np.arange(4.0) + 2)
     assert extra == {"it": 2, "ssim": 0.9}
 
+    # backpressure coalescing: with the writer blocked, three rolling
+    # saves to one file collapse — only the NEWEST is written
+    import threading
+    import time as _time
+
+    slow = Checkpoint(str(tmp_path / "slow"))
+    gate = threading.Event()
+    orig_write = slow._write
+    writes = []
+
+    def blocked_write(path, sd, extra):
+        gate.wait(10)
+        writes.append(extra["it"])
+        orig_write(path, sd, extra)
+
+    slow._write = blocked_write
+    slow.save_async("model.msgpack", {"params": {"w": w}}, it=1)
+    _time.sleep(0.2)  # worker is now blocked inside save it=1
+    slow.save_async("model.msgpack", {"params": {"w": w + 1}}, it=2)
+    slow.save_async("model.msgpack", {"params": {"w": w + 2}}, it=3)
+    gate.set()
+    slow.flush()
+    assert writes == [1, 3], writes  # it=2 superseded before it started
+    _, extra = slow.load("model.msgpack",
+                         {"params": {"w": np.zeros(4, np.float32)}})
+    assert extra["it"] == 3
+
     # a failing write surfaces on flush (unwritable directory)
     bad = Checkpoint(str(tmp_path))
     bad.checkpoint_dir = str(tmp_path / "missing" / "deeper")
