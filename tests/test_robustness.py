@@ -193,3 +193,43 @@ def test_global_packed_counts_deterministic(tiny_config):
     for s in range(len(counts)):
         assert np.sum(si == s) == counts[s]
     assert np.all(vi < tiny_config.data.max_views)
+
+
+def test_writer_error_surfaces_on_clean_exit():
+    """train()'s exit flush must RAISE a writer error when no other
+    exception is unwinding (advisor medium, round 2: the old check ran
+    inside the except handler where exc_info always saw the flush's own
+    error, so failures were always swallowed)."""
+    from types import SimpleNamespace
+
+    import pytest
+
+    from viewfusion_tpu.training.trainer import Experiment
+
+    def make_exp(loop):
+        exp = object.__new__(Experiment)
+        exp.config = SimpleNamespace(train=SimpleNamespace())
+        exp.logger = SimpleNamespace(best_metric_summary=lambda: None)
+        exp.best_metrics = {}
+        exp._train_loop = loop
+
+        class FailingCk:
+            def flush(self):
+                raise RuntimeError("async checkpoint save failed")
+
+        exp.checkpoint = FailingCk()
+        return exp
+
+    # clean loop exit -> the flush failure must propagate
+    exp = make_exp(lambda cfg, acc: None)
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        exp.train()
+
+    # already unwinding a loop exception -> the ORIGINAL error wins,
+    # the flush failure is swallowed
+    def crashing_loop(cfg, acc):
+        raise ValueError("original crash")
+
+    exp = make_exp(crashing_loop)
+    with pytest.raises(ValueError, match="original crash"):
+        exp.train()

@@ -158,3 +158,76 @@ def test_checkpoint_params_only_restore(tmp_path):
                            "opt_state": {"m": fresh_m}})
     np.testing.assert_array_equal(state2["params"]["w"], params["w"])
     np.testing.assert_array_equal(state2["opt_state"]["m"], fresh_m)
+
+
+def test_checkpoint_backpressure_bounds_snapshot_memory(tmp_path):
+    """Superseded QUEUED saves must drop their HBM snapshot at
+    SUBMISSION time, not when the worker reaches them — otherwise a
+    blocked writer pins one full state snapshot per queued save
+    (advisor finding, round 2)."""
+    import threading
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from viewfusion_tpu.training.checkpoint import Checkpoint
+
+    ck = Checkpoint(str(tmp_path))
+    gate = threading.Event()
+    orig_write = ck._write
+
+    def blocked_write(path, sd, extra):
+        gate.wait(10)
+        orig_write(path, sd, extra)
+
+    ck._write = blocked_write
+    w = jnp.arange(8.0)
+    items = []
+    for it in range(1, 4):
+        ck.save_async("model.msgpack", {"params": {"w": w + it}}, it=it)
+        items.append(ck._pending.get(ck._path("model.msgpack")))
+        _time.sleep(0.1 if it == 1 else 0)  # let the worker grab save 1
+    # save 2 was superseded by save 3 while still queued: its snapshot
+    # must already be freed; save 3 (the live one) must still hold its
+    assert items[1][2] is None
+    assert items[2][2] is not None
+    gate.set()
+    ck.flush()
+    state, extra = ck.load("model.msgpack",
+                           {"params": {"w": np.zeros(8, np.float32)}})
+    assert extra["it"] == 3
+    np.testing.assert_array_equal(state["params"]["w"],
+                                  np.arange(8.0) + 3)
+
+
+def test_sync_save_orders_after_pending_async(tmp_path):
+    """A synchronous save() must not be overwritten by an OLDER queued
+    async save when the worker drains (advisor finding, round 2)."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from viewfusion_tpu.training.checkpoint import Checkpoint
+
+    ck = Checkpoint(str(tmp_path))
+    gate = threading.Event()
+    orig_write = ck._write
+    released = []
+
+    def slow_write(path, sd, extra):
+        if not released:
+            gate.wait(10)
+        orig_write(path, sd, extra)
+
+    ck._write = slow_write
+    w = jnp.arange(4.0)
+    ck.save_async("model.msgpack", {"params": {"w": w}}, it=1)
+
+    # sync save submitted later must land later: it drains the queue
+    # first (release the gate from another thread so flush can finish)
+    threading.Timer(0.2, lambda: (released.append(1), gate.set())).start()
+    ck.save("model.msgpack", {"params": {"w": w + 10}}, it=2)
+    ck.flush()
+    _, extra = ck.load("model.msgpack",
+                       {"params": {"w": np.zeros(4, np.float32)}})
+    assert extra["it"] == 2

@@ -134,6 +134,9 @@ class DataConfig:
 
     batch_size: int = 112
     max_views: int = 6
+    # Reference dataloader workers (experiment.py:181).  Values > 1 map
+    # onto the native loader's decode-thread count when tpu.native_threads
+    # is not set explicitly (see trainer._init_dataloaders).
     num_workers: int = 1
     train: SplitConfig = field(default_factory=lambda: SplitConfig(mode="train"))
     test: SplitConfig = field(default_factory=lambda: SplitConfig(mode="test"))

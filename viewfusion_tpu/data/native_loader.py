@@ -66,21 +66,35 @@ def _try_build() -> bool:
     machine with g++ self-heals here so the native path is active
     without a manual native/build.sh step.  Attempted AT MOST ONCE per
     process — a failing toolchain must not re-stall every stream
-    construction (the trainer builds a fresh val stream per eval)."""
+    construction (the trainer builds a fresh val stream per eval).
+
+    Concurrency-safe: the compile is serialized across processes with an
+    fcntl lock file, and build.sh compiles to a temp name + renames, so
+    a concurrent reader never dlopens a half-written library.  Set
+    ``VF_NATIVE_AUTOBUILD=0`` to disable the implicit compile entirely
+    (run native/build.sh manually instead)."""
     global _BUILD_ATTEMPTED
     if _BUILD_ATTEMPTED:
         return os.path.exists(lib_path())
     _BUILD_ATTEMPTED = True
+    if os.environ.get("VF_NATIVE_AUTOBUILD", "1") in ("0", "false", ""):
+        return False
     src_dir = os.path.dirname(lib_path())
     script = os.path.join(src_dir, "build.sh")
     if not os.path.exists(os.path.join(src_dir, "vfloader.cpp")):
         return False
+    import fcntl
     import subprocess
 
     try:
-        subprocess.run(
-            ["bash", script], capture_output=True, timeout=120, check=True,
-        )
+        with open(os.path.join(src_dir, ".build.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)  # released on close
+            if os.path.exists(lib_path()):
+                return True  # another process built it while we waited
+            subprocess.run(
+                ["bash", script], capture_output=True, timeout=120,
+                check=True,
+            )
         return os.path.exists(lib_path())
     except Exception:
         return False

@@ -104,8 +104,10 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        # GroupNorm + Swish fused into one Pallas kernel (one HBM round
-        # trip instead of XLA's reduce + normalize passes).
+        # GroupNorm + Swish.  The measured default lowering is flax/XLA
+        # (XLA fuses the norm into its producers); the fused Pallas
+        # kernel and the dot-stats variant are opt-in escape hatches —
+        # see ops/groupnorm.py _dispatch for the measured numbers.
         h = FusedGroupNorm(
             num_groups=self.groups, epsilon=1e-5, dtype=self.dtype,
             act="silu", name="GroupNorm_0",

@@ -224,22 +224,27 @@ class ViewFusion:
         angle: jnp.ndarray,       # (B,)
         noise: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        sample_gammas: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """MSE between true noise and composed prediction
         (reference: model/view_fusion.py:216-300).
 
         t ~ U{1..T-1}; gamma sampled uniformly in [gamma_{t-1}, gamma_t)
         per sample (WaveGrad continuous noise level,
-        model/view_fusion.py:230-237)."""
+        model/view_fusion.py:230-237).  ``sample_gammas`` (B,) overrides
+        the t/u draws — used with ``noise`` by the training-dynamics
+        parity harness (scripts/train_parity.py) to feed BOTH stacks
+        identical randomness."""
         sched = self.schedule
         b = y_0.shape[0]
         k_t, k_u, k_noise, k_drop = jax.random.split(rng, 4)
 
-        t = jax.random.randint(k_t, (b,), 1, sched.num_timesteps)
-        gamma_t1 = jnp.take(sched.gammas, t - 1)
-        gamma_t2 = jnp.take(sched.gammas, t)
-        u = jax.random.uniform(k_u, (b,))
-        sample_gammas = (gamma_t2 - gamma_t1) * u + gamma_t1  # (B,)
+        if sample_gammas is None:
+            t = jax.random.randint(k_t, (b,), 1, sched.num_timesteps)
+            gamma_t1 = jnp.take(sched.gammas, t - 1)
+            gamma_t2 = jnp.take(sched.gammas, t)
+            u = jax.random.uniform(k_u, (b,))
+            sample_gammas = (gamma_t2 - gamma_t1) * u + gamma_t1  # (B,)
 
         if noise is None:
             noise = jax.random.normal(k_noise, y_0.shape, y_0.dtype)

@@ -78,15 +78,30 @@ def gather_all(x: jnp.ndarray) -> List[jnp.ndarray]:
     # Multi-host: other processes' shards are not addressable, so gather
     # HOST-LOCAL data (a numpy array — process_allgather stacks host
     # arrays along a new leading process axis, which it does NOT do for
-    # global jax Arrays) and return one tensor per process.
+    # global jax Arrays) and return one tensor per process.  The
+    # host-local reconstruction below concatenates deduped shards along
+    # axis 0, which is only correct when axis 0 is the ONLY partitioned
+    # axis (the layout of every per-batch array this framework shards);
+    # reject anything else rather than silently mis-assembling it.
     import numpy as np
 
     from jax.experimental import multihost_utils
 
     seen, parts = set(), []
     for s in sorted(x.addressable_shards, key=lambda s: s.device.id):
+        idx = s.index
+        for dim, sl in enumerate(idx[1:], start=1):
+            full = (sl.start in (None, 0)
+                    and sl.stop in (None, x.shape[dim]))
+            if not full:
+                raise ValueError(
+                    "gather_all on multi-host supports arrays partitioned "
+                    f"only along axis 0; axis {dim} of shape {x.shape} is "
+                    f"split ({sl}). Reshard or gather inside jit with "
+                    "lax.all_gather instead."
+                )
         key = tuple(
-            (sl.start, sl.stop, sl.step) for sl in s.index
+            (sl.start, sl.stop, sl.step) for sl in idx
         )  # dedupe replicated copies of the same global slice
         if key not in seen:
             seen.add(key)

@@ -90,6 +90,9 @@ class Checkpoint:
         self._worker_error: Optional[BaseException] = None
         self._seq = 0
         self._latest_seq: Dict[str, int] = {}
+        # queued-but-not-yet-dequeued item per path, so a newer save can
+        # drop the older pending HBM snapshot at submission time
+        self._pending: Dict[str, list] = {}
         self._latest_lock = threading.Lock()
 
     def _path(self, filename: str) -> str:
@@ -108,9 +111,16 @@ class Checkpoint:
 
     def save(self, filename: str, state: Any, **extra: Any) -> None:
         """Persist ``state`` (any pytree) + scalar extras. Host-0 only.
-        Synchronous: returns only after the file is on disk."""
+        Synchronous: returns only after the file is on disk.
+
+        Drains pending async saves first so submission order is
+        preserved across both APIs — without this, an OLDER queued async
+        snapshot could land after (and silently overwrite) this newer
+        direct write when the worker catches up."""
         if not self.is_host0:
             return
+        if self._queue is not None:
+            self.flush()
         self._raise_worker_error()
         self._write(self._path(filename), serialization.to_state_dict(state),
                     extra)
@@ -155,11 +165,21 @@ class Checkpoint:
             )
             self._worker.start()
         path = self._path(filename)
+        item = [self._seq + 1, path, snap, extra]
         with self._latest_lock:
             self._seq += 1
-            seq = self._seq
-            self._latest_seq[path] = seq
-        self._queue.put((seq, path, snap, extra))
+            item[0] = self._seq
+            self._latest_seq[path] = item[0]
+            # Bound queue-held HBM: a still-queued older save to the same
+            # path will be skipped by the worker anyway — release its
+            # snapshot NOW instead of when the worker reaches it, so
+            # writer backpressure pins at most ~2 snapshots per file
+            # (one in flight + this one) rather than one per queued save.
+            old = self._pending.get(path)
+            if old is not None:
+                old[2] = None
+            self._pending[path] = item
+        self._queue.put(item)
 
     def _worker_loop(self):
         import jax
@@ -172,10 +192,13 @@ class Checkpoint:
                 seq, path, snap, extra = item
                 with self._latest_lock:
                     superseded = self._latest_seq.get(path, seq) > seq
+                    if self._pending.get(path) is item:
+                        del self._pending[path]
                 if superseded:
                     continue  # a newer snapshot of this file is queued
                 host = jax.device_get(serialization.to_state_dict(snap))
                 del snap  # free the HBM snapshot before the file write
+                item[2] = None
                 self._write(path, host, extra)
             except BaseException as e:  # noqa: BLE001 — surfaced on flush
                 self._worker_error = e

@@ -336,6 +336,21 @@ class Experiment:
         self.local_batch_size = max(1, cfg.data.batch_size // nproc)
         seed = cfg.train.seed
 
+        # Reference dataloader-worker knob (experiment.py:180-187): each
+        # torch worker ran the whole read+decode pipeline.  Here decode
+        # parallelism lives in the native loader's C++ threads, so
+        # num_workers > 1 maps onto the decode-thread count unless the
+        # tpu block pins native_threads explicitly; num_workers == 1 (the
+        # common reference value) keeps the measured default — one torch
+        # worker process is not comparable to one decode thread.
+        native_threads = cfg.train.native_threads
+        if ("native_threads" not in cfg.raw.get("tpu", {})
+                and cfg.data.num_workers > 1):
+            native_threads = cfg.data.num_workers
+            if self.is_host0:
+                print(f"data.num_workers={cfg.data.num_workers} -> "
+                      f"{native_threads} native decode threads")
+
         self.train_loader: Optional[Iterator] = None
         if self.args.train:
             stream = create_nmr_stream(
@@ -343,7 +358,7 @@ class Experiment:
                 host_id=jax.process_index(), num_hosts=nproc,
                 resample=True, relative=self.relative,
                 native=cfg.train.native_loader,
-                native_threads=cfg.train.native_threads,
+                native_threads=native_threads,
             )
             # collate only what the train step consumes — all_views alone
             # is ~24x the transferred payload (B, 24, H, W, 3)
@@ -499,16 +514,19 @@ class Experiment:
             # Durability on ANY exit, including exceptions out of the
             # loop: queued async saves must reach disk before the
             # process dies (the writer is a daemon thread).  Swallow
-            # writer errors here only when already unwinding another
-            # exception.
+            # writer errors only when already unwinding another
+            # exception — capture that state BEFORE flushing (inside the
+            # except handler, exc_info would report the flush's own
+            # error and the condition could never re-raise).
             import sys
 
+            unwinding = sys.exc_info()[0] is not None
             ck = getattr(self, "checkpoint", None)  # absent on fakes
             if ck is not None:
                 try:
                     ck.flush()
                 except RuntimeError:
-                    if sys.exc_info()[0] is None:
+                    if not unwinding:
                         raise
 
     def _train_loop(self, cfg, acc_loss) -> None:
