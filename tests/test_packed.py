@@ -138,3 +138,73 @@ def test_packed_generate_matches_dense(tiny_config, rng):
                                              jnp.asarray(vi)))
     np.testing.assert_allclose(np.asarray(d_ddim), np.asarray(p_ddim),
                                atol=1e-5)
+
+
+def test_packed_mesh_data_x_view(tiny_config, rng):
+    """Packed train step on a data=4 x view=2 mesh — the SHIPPED
+    configuration (tpu.packed_views with mesh_view > 1).  The packed
+    gather (view_fusion.py _denoise_views) reads (data, view)-sharded
+    cond with replicated index vectors; this pins that XLA's resharding
+    of that program is numerically exact vs the unsharded dense loss,
+    gradients included."""
+    import optax
+
+    from viewfusion_tpu.parallel.mesh import (
+        MeshSpec, make_mesh, replicate, shard_batch,
+    )
+    from viewfusion_tpu.training.trainer import stratified_count_multiset
+
+    model = ViewFusion.from_config(tiny_config)
+    b, n, hw = 8, 4, 8
+    y0 = rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32)
+    cond = rng.uniform(0, 1, (b, n, hw, hw, 3)).astype(np.float32)
+    vc = stratified_count_multiset(b, n)
+    si, vi = _packed_indices(vc)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(cond),
+                        jnp.asarray(y0))
+    tx = optax.adam(1e-3)
+    key = jax.random.PRNGKey(3)
+
+    def step(p, opt, bt):
+        def loss_fn(q):
+            return model.loss_packed(
+                q, key, bt["target"], bt["cond"], bt["view_count"],
+                bt["angle"], bt["sample_idx"], bt["view_idx"],
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt, loss, grads
+
+    # single-device dense reference
+    ref_loss = model.loss(
+        params, key, jnp.asarray(y0), jnp.asarray(cond),
+        jnp.asarray(vc.astype(np.int32)),
+        jnp.zeros(b, jnp.float32),
+    )
+
+    mesh = make_mesh(MeshSpec(data=4, view=2))
+    batch = shard_batch(
+        {"target": y0, "cond": cond,
+         "view_count": vc.astype(np.int32),
+         "angle": np.zeros(b, np.float32),
+         "sample_idx": si, "view_idx": vi},
+        mesh,
+    )
+    params_r = replicate(params, mesh)
+    opt_r = replicate(tx.init(params), mesh)
+    p2, _, loss, grads = jax.jit(step)(params_r, opt_r, batch)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+
+    # gradients on the mesh == single-device packed gradients
+    g_ref = jax.grad(
+        lambda p: model.loss_packed(
+            p, key, jnp.asarray(y0), jnp.asarray(cond),
+            jnp.asarray(vc.astype(np.int32)), jnp.zeros(b, jnp.float32),
+            jnp.asarray(si), jnp.asarray(vi),
+        )
+    )(params)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_ref),
+                     jax.tree_util.tree_leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
