@@ -286,6 +286,23 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"data-fed bench failed: {e}")
 
+    # ---------------- MFU vs batch ------------------------------------
+    # The headline row stays at per-chip batch 28 for baseline
+    # comparability (the reference's per-GPU batch); these rows chart
+    # how MFU scales when the chip is given more rows per step.
+    # Disable with VF_BENCH_NO_SCALING=1 (e.g. cold-cache CI where two
+    # extra flagship compiles are unwelcome).
+    scaling = []
+    if os.environ.get("VF_BENCH_NO_SCALING") != "1" and \
+            dev.platform == "tpu":
+        for b2 in (56, 112):
+            try:
+                scaling.append(
+                    bench_one_batch(model, cfg, tx, b2, peak)
+                )
+            except Exception as e:  # pragma: no cover
+                log(f"batch-{b2} scaling bench failed: {e}")
+
     out = {
         "metric": "train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 4),
@@ -298,7 +315,72 @@ def main():
     }
     if data_sps is not None:
         out["data_fed_steps_per_sec"] = round(data_sps, 4)
+    if scaling:
+        out["batch_scaling"] = scaling
     print(json.dumps(out))
+
+
+def bench_one_batch(model, cfg, tx, b, peak):
+    """Packed train-step throughput + MFU at per-chip batch ``b``."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from viewfusion_tpu.training.trainer import stratified_count_multiset
+
+    n = cfg.data.max_views
+    hw = cfg.unet.image_size
+    rng = np.random.default_rng(0)
+    y0 = jnp.asarray(rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32))
+    cond = jnp.asarray(
+        rng.uniform(0, 1, (b, n, hw, hw, 3)).astype(np.float32)
+    )
+    counts = stratified_count_multiset(b, n)
+    np.random.default_rng(1).shuffle(counts)
+    view_count = jnp.asarray(counts.astype(np.int32))
+    sample_idx = jnp.asarray(np.repeat(np.arange(b), counts).astype(np.int32))
+    view_idx = jnp.asarray(
+        np.concatenate([np.arange(v) for v in counts]).astype(np.int32)
+    )
+    angle = jnp.asarray(rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32))
+    rows = int(counts.sum())
+
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(key, cond, y0)
+    opt_state = jax.jit(tx.init)(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, key):
+        def loss_fn(p):
+            return model.loss_packed(p, key, y0, cond, view_count, angle,
+                                     sample_idx, view_idx)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.perf_counter()
+    params, opt_state, loss = train_step(params, opt_state, key)
+    jax.block_until_ready(loss)
+    log(f"batch {b}: compile+first {time.perf_counter() - t0:.1f}s")
+    for i in range(10):
+        key = jax.random.fold_in(key, 10_000 + i)
+        params, opt_state, loss = train_step(params, opt_state, key)
+    jax.block_until_ready(loss)
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(30):
+            key = jax.random.fold_in(key, i)
+            params, opt_state, loss = train_step(params, opt_state, key)
+        jax.block_until_ready(loss)
+        best = max(best, 30 / (time.perf_counter() - t0))
+    step_flops = 3.0 * unet_flops_per_row(cfg.unet) * rows
+    mfu = step_flops * best / peak
+    log(f"batch {b}: {best:.3f} steps/s, rows {rows}, MFU {mfu*100:.1f}%")
+    return {"batch": b, "steps_per_sec": round(best, 3),
+            "rows": rows, "mfu": round(mfu, 4)}
 
 
 def bench_data_fed(train_step, params, opt_state, key, cfg, synth_sps):

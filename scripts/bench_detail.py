@@ -40,6 +40,10 @@ def main():
     p.add_argument("--timesteps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=28)
     p.add_argument("--gen-batch", type=int, default=8)
+    p.add_argument("--chain-batch", type=int, default=28,
+                   help="train-batch-sized full chain, run segmented")
+    p.add_argument("--segments", type=int, default=8,
+                   help="jit dispatches the big chain is split into")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -128,9 +132,75 @@ def main():
         f"sampling: T={args.timesteps} batch={b} views={n}: {dt:.2f}s/batch"
         f" -> {samples_per_sec:.3f} samples/s, {views_per_sec:.2f} views/s"
     )
-    # Reference: 4xV100 generates a batch of 112 (28/GPU) with ~3.5 avg
-    # views through 2000 UNet passes; no published number — derive the
-    # achievable bound from its train rate in BASELINE.md instead.
+
+    # ---- full chain at TRAIN batch (28), segmented ---------------------
+    # One T=2000 batch-28 execution exceeds the tunneled dev rig's
+    # per-execution limit (~73 s aborts UNAVAILABLE), so the chain runs
+    # as `--segments` jitted scans threading y_t — identical math to
+    # generate(capture_aux=False), each dispatch well under the limit.
+    big = {}
+    if not args.quick:
+        bb = args.chain_batch
+        from viewfusion_tpu.models.view_fusion import view_mask
+
+        cond_b = jnp.asarray(
+            rng.uniform(0, 1, (bb, n, hw, hw, 3)).astype(np.float32)
+        )
+        vc_b = jnp.full((bb,), n, jnp.int32)
+        angle_b = jnp.zeros((bb,), jnp.float32)
+        mask_b = view_mask(vc_b, n)
+
+        @jax.jit
+        def seg(params, y_t, key, ts):
+            def body(carry, t):
+                y_t, k = carry
+                k, sub = jax.random.split(k)
+                y_t, _, _ = model.p_sample(
+                    params, sub, y_t, cond_b, mask_b, angle_b, t
+                )
+                return (y_t, k), None
+
+            (y_t, key), _ = jax.lax.scan(body, (y_t, key), ts)
+            return y_t, key
+
+        T = args.timesteps
+        nseg = args.segments
+        assert T % nseg == 0
+        ts_all = np.arange(T - 1, -1, -1).reshape(nseg, T // nseg)
+
+        def run_chain(seed):
+            key = jax.random.PRNGKey(seed)
+            key, sub = jax.random.split(key)
+            y_t = jax.random.normal(sub, (bb, hw, hw, 3), jnp.float32)
+            for s in range(nseg):
+                y_t, key = seg(params, y_t, key, jnp.asarray(ts_all[s]))
+                _ = float(jnp.sum(y_t[0, 0, 0]))  # sync (stay under limit)
+            return y_t
+
+        t0 = time.perf_counter()
+        y = run_chain(100)  # compile (one program for all segments)
+        log(f"batch-{bb} chain compile+run: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        y = run_chain(101)
+        big_dt = time.perf_counter() - t0
+        assert np.isfinite(np.asarray(y)).all()
+        big = {
+            "chain_batch": bb,
+            "chain_batch_seconds": round(big_dt, 2),
+            "chain_batch_samples_per_sec": round(bb / big_dt, 4),
+            "chain_batch_views_per_sec": round(bb * n / big_dt, 3),
+        }
+        log(f"batch-{bb} chain: {big_dt:.1f}s -> "
+            f"{bb / big_dt:.3f} samples/s, {bb * n / big_dt:.2f} views/s")
+
+    # Reference rig capability (no published sampling rate): derived
+    # from its measured train rate — 1.26 global steps/s at 392 expected
+    # UNet rows/step, fwd+bwd ~= 3x fwd => ~1482 fwd-rows/s for the
+    # 4xV100 rig => /2000 chain steps = 0.74 full-chain cond-views/s
+    # (0.185 per V100).  "Matched PSNR" remains unverifiable in this
+    # image (no NMR dataset; BASELINE.md caveat).
+    rig_views_per_sec = 1.26 * 392 * 3 / 2000  # = 0.74
+    per_v100_views_per_sec = rig_views_per_sec / 4
     # ---- DDIM fast sampler -------------------------------------------
     gen_ddim = jax.jit(
         lambda p, k: model.generate_ddim(p, k, cond, vc, angle,
@@ -151,13 +221,34 @@ def main():
     import json
 
     out = {
+        "units_note": (
+            "views_per_sec = conditioning views denoised through the "
+            "full chain (b*n/dt); samples_per_sec = generated target "
+            "images (b/dt).  Both stated everywhere."
+        ),
         "samples_per_sec": round(samples_per_sec, 4),
         "views_per_sec": round(views_per_sec, 3),
         "seconds_per_batch": round(dt, 3),
         "timesteps": args.timesteps,
         "batch": b,
+        **big,
         "ddim50_samples_per_sec": round(b / ddim_dt, 3),
         "ddim50_views_per_sec": round(b * n / ddim_dt, 2),
+        "baseline_derivation": (
+            "reference rig sampling capability derived from its train "
+            "rate (1.26 steps/s x 392 rows x 3 fwd-equiv / 2000 chain "
+            "steps): 0.74 full-chain views/s for the 4xV100 rig, 0.185 "
+            "per V100; matched-PSNR condition unverifiable here (no NMR "
+            "data in image)"
+        ),
+        "fullchain_vs_4xV100_rig": round(
+            (big.get("chain_batch_views_per_sec", views_per_sec))
+            / rig_views_per_sec, 2),
+        "fullchain_vs_per_V100": round(
+            (big.get("chain_batch_views_per_sec", views_per_sec))
+            / per_v100_views_per_sec, 2),
+        "ddim50_vs_4xV100_rig_fullchain": round(
+            (b * n / ddim_dt) / rig_views_per_sec, 1),
     }
     print(json.dumps(out))
     if args.out:

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Serving load test: throughput + latency percentiles under concurrent
+clients, exercising dynamic batching, per-bucket warmup, and the
+mixed-step re-queue path.
+
+Builds a throwaway run dir (random weights — load characteristics do
+not depend on training state), starts ViewFusionService in-process, and
+drives it with C concurrent closed-loop clients (each fires its next
+request as soon as the previous returns).  Mixed traffic: ~10% of
+requests use a second step bucket, which must ride its own precompiled
+program rather than stalling the main bucket's batches.
+
+Numbers from a CPU host are illustrative of the MECHANISM (batching,
+bucketing, no mid-traffic compiles); absolute latency comes from the
+device.  Run with --out SERVE_r03.json to commit the artifact.
+
+Usage: JAX_PLATFORMS=cpu python scripts/bench_serving.py --out SERVE_r03.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def make_run_dir(image_size=16, inner=8, T=32) -> str:
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from viewfusion_tpu.config import Config
+    from viewfusion_tpu.models.view_fusion import ViewFusion
+    from viewfusion_tpu.training.checkpoint import Checkpoint
+
+    raw = {
+        "model": {
+            "denoise_net": "unet",
+            "view_fusion_params": {
+                "beta_schedule": {
+                    "train": {"schedule": "linear", "num_timesteps": T,
+                              "linear_start": 1e-4, "linear_end": 0.09},
+                    "test": {"schedule": "linear", "num_timesteps": T,
+                             "linear_start": 1e-4, "linear_end": 0.09},
+                }
+            },
+            "denoise_net_params": {
+                "image_size": image_size, "in_channel": 6,
+                "out_channel": 6, "inner_channel": inner,
+                "norm_groups": 4, "res_blocks": 1,
+                "attn_res": [image_size // 2], "channel_mults": [1, 2],
+            },
+        },
+        "data": {"params": {"max_views": 4, "batch_size": 8}},
+        "tpu": {"compute_dtype": "float32"},
+    }
+    cfg = Config.from_dict(raw)
+    model = ViewFusion.from_config(cfg)
+    run_dir = tempfile.mkdtemp(prefix="vf_serve_bench_")
+    with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+        yaml.dump(raw, f)
+    hw = image_size
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 1, hw, hw, 3), jnp.float32),
+        jnp.zeros((1, hw, hw, 3), jnp.float32),
+    )
+    Checkpoint(run_dir).save("best_model_all.msgpack", {"params": params})
+    return run_dir
+
+
+def drive(service, concurrency: int, seconds: float, image_size: int,
+          alt_steps: int):
+    """Closed-loop clients for ``seconds``; returns latency list + errors."""
+    rng = np.random.default_rng(0)
+    views = rng.uniform(0, 1, (2, image_size, image_size, 3)).astype(
+        np.float32
+    )
+    latencies, errors = [], []
+    lock = threading.Lock()
+    stop = time.perf_counter() + seconds
+
+    def client(cid):
+        i = 0
+        while time.perf_counter() < stop:
+            i += 1
+            steps = alt_steps if (cid == 0 and i % 10 == 0) else None
+            t0 = time.perf_counter()
+            try:
+                service.submit(views[: 1 + (i % 2)],
+                               angle=0.1 * i, steps=steps)
+                dt = time.perf_counter() - t0
+                with lock:
+                    latencies.append((dt, steps is not None))
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    errors.append(str(e))
+
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(concurrency)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    return latencies, errors, wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--seconds", type=float, default=6.0)
+    ap.add_argument("--concurrency", default="8,16,32")
+    args = ap.parse_args()
+
+    from viewfusion_tpu.serving import ViewFusionService
+
+    image_size = 16
+    run_dir = make_run_dir(image_size=image_size)
+    service = ViewFusionService(run_dir, batch_size=8, max_wait_ms=10,
+                                default_steps=8)
+    t0 = time.perf_counter()
+    service.warmup([8, 16])  # default + alternate bucket precompiled
+    warmup_s = time.perf_counter() - t0
+    print(f"warmup (2 step buckets): {warmup_s:.1f}s")
+
+    import jax
+
+    rows = []
+    for conc in [int(c) for c in args.concurrency.split(",")]:
+        lats, errors, wall = drive(service, conc, args.seconds,
+                                   image_size, alt_steps=16)
+        all_ms = sorted(l[0] * 1e3 for l in lats)
+        alt_ms = sorted(l[0] * 1e3 for l in lats if l[1])
+        row = {
+            "concurrency": conc,
+            "requests": len(lats),
+            "errors": len(errors),
+            "throughput_rps": round(len(lats) / wall, 2),
+            "p50_ms": round(float(np.percentile(all_ms, 50)), 1),
+            "p99_ms": round(float(np.percentile(all_ms, 99)), 1),
+            "alt_bucket_requests": len(alt_ms),
+            "alt_bucket_p50_ms": (round(float(np.percentile(alt_ms, 50)), 1)
+                                  if alt_ms else None),
+        }
+        rows.append(row)
+        print(row)
+        assert not errors, errors[:3]
+
+    result = {
+        "what": ("closed-loop load test of ViewFusionService: dynamic "
+                 "batching (batch 8, 10ms window), per-bucket warmup "
+                 "[8, 16] steps, ~10% of traffic on the 16-step bucket"),
+        "platform": jax.devices()[0].platform,
+        "device": jax.devices()[0].device_kind,
+        "model": f"tiny UNet {image_size}px (mechanism test; absolute "
+                 "latency scales with the real model/device)",
+        "warmup_seconds_two_buckets": round(warmup_s, 1),
+        "duration_per_level_s": args.seconds,
+        "levels": rows,
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -183,3 +183,32 @@ def test_abandoned_requests_skipped(service):
     # the queue drains without the abandoned request blocking new ones
     out = service.submit(cond, 0.0)
     assert out.shape == (8, 8, 3)
+
+
+def test_warmup_buckets_and_mixed_steps(service):
+    """Per-bucket warmup precompiles every listed step count, and mixed
+    step-count traffic completes concurrently — a second bucket rides
+    its own program instead of blocking the first bucket's batches."""
+    service.warmup([4, 6])
+    assert service.warmed_steps[-2:] == [4, 6]
+    with pytest.raises(ValueError, match="warmup steps"):
+        service.warmup([0])
+
+    rng = np.random.default_rng(1)
+    cond = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+    results = {}
+
+    def call(i, steps):
+        results[i] = service.submit(cond, angle=0.3 * i, steps=steps)
+
+    threads = [
+        threading.Thread(target=call, args=(i, 4 if i % 2 else 6))
+        for i in range(6)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert len(results) == 6
+    for r in results.values():
+        assert r.shape == (8, 8, 3) and np.all(np.isfinite(r))

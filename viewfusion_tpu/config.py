@@ -217,6 +217,14 @@ class TrainConfig:
     # (experiment.py:198-208).  Single-process only (per-host shard
     # subsets would finish at different step counts).
     eval_exact_epoch: bool = False
+    # Eval view-count draw when packed_views is on.  Default (False):
+    # the packed eval derives a DETERMINISTIC stratified count multiset
+    # per batch (identical across evals -> low metric variance between
+    # checkpoints; documented divergence from the reference's iid eval
+    # draw, experiment.py:329 — see PARITY.md).  True: eval runs the
+    # dense path with fresh iid U{1..max_views} host draws — exact
+    # reference eval semantics at masked-row FLOP cost.
+    eval_iid_counts: bool = False
     # Packed training: run the UNet on exactly sum(view_count) rows
     # (stratified per-batch view counts keep the row budget static) —
     # ~1.7x fewer UNet FLOPs at max_views=6 vs the dense masked layout.

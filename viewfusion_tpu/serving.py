@@ -113,23 +113,35 @@ class ViewFusionService:
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._counter = 0
+        self.warmed_steps: List[int] = []
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     # ------------------------------------------------------------------
-    def warmup(self) -> None:
-        """Compile (or load from the persistent cache) the default-steps
-        program before accepting traffic, so the first real request pays
-        steady-state latency instead of minutes of jit compile."""
+    def warmup(self, steps_list: Optional[List[int]] = None) -> None:
+        """Compile (or load from the persistent cache) the sampler for
+        each step-count bucket before accepting traffic, so no request
+        with a listed ``steps`` value ever pays a mid-traffic jit
+        compile.  Default: just the default-steps bucket; pass
+        additional buckets you expect clients to use (CLI:
+        ``--warmup-steps 50,250``)."""
         jnp = self._jnp
         b, hw = self.batch_size, self.image_size
-        out = self._ddim(
-            self.params, self._jax.random.PRNGKey(0),
-            jnp.zeros((b, self.n_max, hw, hw, 3), jnp.float32),
-            jnp.ones((b,), jnp.int32), jnp.zeros((b,), jnp.float32),
-            num_steps=self.default_steps,
-        )
-        self._jax.block_until_ready(out)
+        for steps in steps_list or [self.default_steps]:
+            steps = int(steps)
+            if not 1 <= steps <= self.max_steps:
+                raise ValueError(
+                    f"warmup steps must be in [1, {self.max_steps}], "
+                    f"got {steps}"
+                )
+            out = self._ddim(
+                self.params, self._jax.random.PRNGKey(0),
+                jnp.zeros((b, self.n_max, hw, hw, 3), jnp.float32),
+                jnp.ones((b,), jnp.int32), jnp.zeros((b,), jnp.float32),
+                num_steps=steps,
+            )
+            self._jax.block_until_ready(out)
+            self.warmed_steps.append(steps)
 
     # ------------------------------------------------------------------
     def submit(self, cond: np.ndarray, angle: float,
@@ -334,13 +346,16 @@ def make_server(service: ViewFusionService, host: str = "0.0.0.0",
 
 def serve(run_dir: str, host: str = "0.0.0.0", port: int = 8000,
           batch_size: int = 8, default_steps: int = 50,
-          max_views: Optional[int] = None, warmup: bool = True) -> None:
+          max_views: Optional[int] = None, warmup: bool = True,
+          warmup_steps: Optional[List[int]] = None) -> None:
     service = ViewFusionService(run_dir, batch_size=batch_size,
                                 default_steps=default_steps,
                                 max_views=max_views)
     if warmup:
-        print("warming up (compiling the sampler)...", flush=True)
-        service.warmup()
+        buckets = warmup_steps or [default_steps]
+        print(f"warming up (compiling step buckets {buckets})...",
+              flush=True)
+        service.warmup(buckets)
     httpd = make_server(service, host, port)
     print(f"serving {run_dir} on {host}:{httpd.server_address[1]}")
     httpd.serve_forever()
@@ -356,9 +371,19 @@ def main(argv=None) -> None:
     p.add_argument("--max-views", type=int, default=None)
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the startup compile of the default sampler")
+    p.add_argument("--warmup-steps", default=None,
+                   help="comma-separated step buckets to precompile at "
+                        "startup (e.g. 50,250); default: the --steps "
+                        "bucket only")
     args = p.parse_args(argv)
+    buckets = None
+    if args.warmup_steps:
+        buckets = [int(s) for s in args.warmup_steps.split(",") if s]
+        if args.steps not in buckets:
+            buckets.insert(0, args.steps)
     serve(args.src, args.host, args.port, args.batch_size, args.steps,
-          args.max_views, warmup=not args.no_warmup)
+          args.max_views, warmup=not args.no_warmup,
+          warmup_steps=buckets)
 
 
 if __name__ == "__main__":

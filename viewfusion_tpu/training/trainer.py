@@ -650,7 +650,12 @@ class Experiment:
         (experiment.py:314-391)."""
         print("Running metric evaluation...")
         ssims, psnrs, weights = [], [], []
-        packed = self.config.train.packed_views
+        # tpu.eval_iid_counts forces the dense path with fresh iid count
+        # draws (exact reference eval semantics, experiment.py:329);
+        # default packed eval uses the deterministic stratified multiset
+        # (documented divergence, PARITY.md).
+        packed = (self.config.train.packed_views
+                  and not self.config.train.eval_iid_counts)
         for val_batch in self.val_loader():
             if packed:
                 view_count, si, vi = self._global_packed_counts(
