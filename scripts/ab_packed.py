@@ -78,15 +78,16 @@ def run_arm(name, data_dir, root, steps, packed, seed):
     cfg_path = os.path.join(root, f"{name}.yaml")
     with open(cfg_path, "w") as f:
         yaml.dump(raw, f)
-    log_root = os.path.join(root, f"logs_{name}")
-    env = dict(os.environ, VF_LOG_ROOT=log_root)
+    arm_cwd = os.path.join(root, f"arm_{name}")
+    os.makedirs(arm_cwd, exist_ok=True)
     print(f"=== arm {name}: packed={packed} seed={seed} "
           f"steps={steps}", flush=True)
     subprocess.run(
         [sys.executable, os.path.join(REPO, "main.py"), "-c", cfg_path,
          "-t"],
-        check=True, cwd=root, env=env,
+        check=True, cwd=arm_cwd,
     )
+    log_root = os.path.join(arm_cwd, "logs")
     run_dir = os.path.join(
         log_root, sorted(os.listdir(log_root))[-1]
     )

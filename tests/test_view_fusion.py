@@ -144,3 +144,43 @@ def test_generate_no_weighting(tiny_config, rng):
                          sample_num=4)
     assert out.logit_arr is None and out.weight_arr is None
     assert np.all(np.isfinite(np.asarray(out.y_t)))
+
+
+def test_segmented_chain_matches_generate(tiny_config, rng):
+    """chain_segment-ed reverse chain (init_chain -> K segments ->
+    finalize_chain) must be BIT-identical to one generate() call with
+    the same key — same rng stream, same capture schedule."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from viewfusion_tpu.models.view_fusion import ViewFusion
+
+    model = ViewFusion.from_config(tiny_config)
+    b, n, hw = 2, 3, 8
+    y0 = jnp.asarray(rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32))
+    cond = jnp.asarray(
+        rng.uniform(0, 1, (b, n, hw, hw, 3)).astype(np.float32)
+    )
+    vc = jnp.asarray(np.array([1, 3], np.int32))
+    angle = jnp.asarray(rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), cond, y0)
+    key = jax.random.PRNGKey(7)
+
+    ref = model.generate(params, key, cond, vc, angle, sample_num=4)
+
+    T = model.schedule.num_timesteps
+    for segs in (2, 3):
+        carry = model.init_chain(key, cond, vc, sample_num=4)
+        bounds = np.linspace(T, 0, segs + 1).round().astype(int)
+        for hi, lo in zip(bounds[:-1], bounds[1:]):
+            ts = jnp.arange(int(hi) - 1, int(lo) - 1, -1)
+            carry = model.chain_segment(params, carry, ts, cond, vc,
+                                        angle, sample_num=4)
+        out = model.finalize_chain(carry)
+        np.testing.assert_array_equal(np.asarray(ref.y_t),
+                                      np.asarray(out.y_t))
+        np.testing.assert_array_equal(np.asarray(ref.ret_arr),
+                                      np.asarray(out.ret_arr))
+        np.testing.assert_array_equal(np.asarray(ref.weight_arr),
+                                      np.asarray(out.weight_arr))

@@ -217,6 +217,12 @@ class TrainConfig:
     # (experiment.py:198-208).  Single-process only (per-host shard
     # subsets would finish at different step counts).
     eval_exact_epoch: bool = False
+    # Split visualization/inference reverse chains into K jitted
+    # dispatches of T/K steps each (identical math + RNG to one call;
+    # models/view_fusion.py chain_segment).  Keeps each device execution
+    # short — preemption windows, per-execution runtime limits on shared
+    # dev rigs.  1 = single dispatch (default).
+    chain_segments: int = 1
     # Eval view-count draw when packed_views is on.  Default (False):
     # the packed eval derives a DETERMINISTIC stratified count multiset
     # per batch (identical across evals -> low metric variance between

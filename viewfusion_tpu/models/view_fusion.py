@@ -413,16 +413,29 @@ class ViewFusion:
         mask = view_mask(view_count, n)
         angle = angle.reshape(-1)
 
+        keep_aux = self.weighting_inference and capture_aux
+        init = self._init_chain_carry(y_t, k_scan, b, n, h, w, n_frames,
+                                      keep_aux)
+        step = self._make_chain_step(params, y_cond, mask, angle,
+                                     packed_idx, sample_inter, keep_aux)
+        carry, _ = jax.lax.scan(step, init, jnp.arange(T - 1, -1, -1))
+        return self._finalize_chain(carry, keep_aux)
+
+    # -- chain internals (shared by generate and chain_segment) --------
+    @staticmethod
+    def _init_chain_carry(y_t, key, b, n, h, w, n_frames, keep_aux):
         ret_arr = jnp.zeros((n_frames + 1, b, h, w, 3), jnp.float32)
         ret_arr = ret_arr.at[0].set(y_t)
-        keep_aux = self.weighting_inference and capture_aux
         if keep_aux:
             logit_arr = jnp.zeros((n_frames, b, n, h, w, 3), jnp.float32)
             weight_arr = jnp.zeros((n_frames, b, n, h, w, 3), jnp.float32)
         else:
             logit_arr = jnp.zeros((0,), jnp.float32)
             weight_arr = jnp.zeros((0,), jnp.float32)
+        return (y_t, ret_arr, logit_arr, weight_arr, jnp.int32(0), key)
 
+    def _make_chain_step(self, params, y_cond, mask, angle, packed_idx,
+                         sample_inter, keep_aux):
         def step(carry, i):
             y_t, ret_arr, logit_arr, weight_arr, frame_idx, key = carry
             key, sub = jax.random.split(key)
@@ -455,11 +468,11 @@ class ViewFusion:
             )
             return (y_t, ret_arr, logit_arr, weight_arr, frame_idx, key), None
 
-        init = (y_t, ret_arr, logit_arr, weight_arr, jnp.int32(0), k_scan)
-        (y_t, ret_arr, logit_arr, weight_arr, _, _), _ = jax.lax.scan(
-            step, init, jnp.arange(T - 1, -1, -1)
-        )
+        return step
 
+    @staticmethod
+    def _finalize_chain(carry, keep_aux):
+        y_t, ret_arr, logit_arr, weight_arr, _, _ = carry
         # Frame axes -> batch-major, matching the reference return contract
         # (B, frames, ...) (model/view_fusion.py:208-214).
         ret_arr = jnp.moveaxis(ret_arr, 0, 1)
@@ -470,6 +483,50 @@ class ViewFusion:
             return GenerateOutput(y_t, ret_arr, logit_arr, weight_arr,
                                   generated_samples)
         return GenerateOutput(y_t, ret_arr, None, None, generated_samples)
+
+    def init_chain(self, rng, y_cond, view_count, sample_num=8,
+                   y_t=None, capture_aux=True):
+        """Initial carry for a SEGMENTED reverse chain (see
+        :meth:`chain_segment`).  Identical rng handling to
+        :meth:`generate`: same (k_init, k_scan) split, same per-step
+        splits inside the scan — a chain run in segments is bit-identical
+        to a single generate() call with the same key (pinned by
+        tests/test_view_fusion.py::test_segmented_chain_matches_generate).
+        """
+        sched = self.schedule
+        T = sched.num_timesteps
+        sample_inter = T // sample_num
+        n_frames = (T - 1) // sample_inter + 1
+        b, n, h, w, _ = y_cond.shape
+        k_init, k_scan = jax.random.split(rng)
+        if y_t is None:
+            y_t = jax.random.normal(k_init, (b, h, w, 3), jnp.float32)
+        keep_aux = self.weighting_inference and capture_aux
+        return self._init_chain_carry(y_t, k_scan, b, n, h, w, n_frames,
+                                      keep_aux)
+
+    def chain_segment(self, params, carry, ts, y_cond, view_count, angle,
+                      sample_num=8, packed_idx=None, capture_aux=True):
+        """Run the reverse chain over the timestep array ``ts``
+        (descending), threading ``carry`` from :meth:`init_chain` or a
+        previous segment.  Jittable; lets a T=2000 chain run as K
+        dispatches of T/K steps each — same math and RNG stream as one
+        :meth:`generate` call, but each device execution stays short
+        (preemption windows, per-execution runtime limits).  Finish with
+        :meth:`finalize_chain`."""
+        sched = self.schedule
+        sample_inter = sched.num_timesteps // sample_num
+        keep_aux = self.weighting_inference and capture_aux
+        mask = view_mask(view_count, y_cond.shape[1])
+        step = self._make_chain_step(params, y_cond, mask,
+                                     angle.reshape(-1), packed_idx,
+                                     sample_inter, keep_aux)
+        carry, _ = jax.lax.scan(step, carry, ts)
+        return carry
+
+    def finalize_chain(self, carry, capture_aux=True) -> GenerateOutput:
+        keep_aux = self.weighting_inference and capture_aux
+        return self._finalize_chain(carry, keep_aux)
 
     # ------------------------------------------------------------------
     # fast sampling (TPU extension — no reference equivalent)

@@ -267,6 +267,10 @@ class Experiment:
                     num_steps=self.config.train.ddim_steps,
                     eta=self.config.train.ddim_eta)
         )
+        self._jit_chain_segment = jax.jit(
+            partial(self.model.chain_segment,
+                    sample_num=self.config.train.sample_num)
+        )
 
     @property
     def _infer_params(self):
@@ -768,17 +772,40 @@ class Experiment:
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.config.train.seed + 23), key_salt
         )
-        out = self._jit_generate(
-            self._infer_params,
-            key,
-            jnp.asarray(cond),
-            jnp.asarray(view_count, jnp.int32),
-            jnp.asarray(angle, jnp.float32),
-        )
+        cond = jnp.asarray(cond)
+        view_count = jnp.asarray(view_count, jnp.int32)
+        angle = jnp.asarray(angle, jnp.float32)
+        segs = self.config.train.chain_segments
+        if segs > 1:
+            out = self._generate_segmented(key, cond, view_count, angle,
+                                           segs)
+        else:
+            out = self._jit_generate(
+                self._infer_params, key, cond, view_count, angle
+            )
         return jax.tree_util.tree_map(
             lambda x: np.asarray(x) if x is not None else None, out,
             is_leaf=lambda x: x is None,
         )
+
+    def _generate_segmented(self, key, cond, view_count, angle, segs):
+        """Reverse chain as ``segs`` jitted dispatches (tpu.chain_segments):
+        identical math/RNG to one generate() call, but each device
+        execution runs T/segs steps — preemption windows and
+        per-execution runtime limits stay bounded."""
+        model = self.model
+        sample_num = self.config.train.sample_num
+        T = model.schedule.num_timesteps
+        carry = model.init_chain(key, cond, view_count,
+                                 sample_num=sample_num)
+        bounds = np.linspace(T, 0, segs + 1).round().astype(int)
+        for hi, lo in zip(bounds[:-1], bounds[1:]):
+            ts = jnp.arange(int(hi) - 1, int(lo) - 1, -1)
+            carry = self._jit_chain_segment(
+                self._infer_params, carry, ts, cond, view_count, angle
+            )
+            jax.block_until_ready(carry[0])  # bound each execution
+        return model.finalize_chain(carry)
 
     def _grid_output(self, ret_arr, target, cond, view_count,
                      name: str) -> None:
