@@ -97,12 +97,16 @@ def main():
         if proc.returncode != 0:
             entry["stderr_tail"] = proc.stderr[-2000:]
         if name == "eval":
-            with open(os.path.join(run, "metrics.jsonl")) as f:
-                recs = [json.loads(line) for line in f]
-            ev = [r for r in recs if "psnr" in r]
-            if ev:
-                entry["psnr"] = ev[-1]["psnr"]
-                entry["ssim"] = ev[-1]["ssim"]
+            # standalone -e prints metrics to stdout (the JSONL sink is
+            # written by the train-loop/inference log flush)
+            for line in proc.stdout.splitlines():
+                if line.startswith("eval:"):
+                    parts = dict(
+                        kv.split("=") for kv in line.split()[1:]
+                        if "=" in kv
+                    )
+                    entry["ssim"] = float(parts.get("ssim", "nan"))
+                    entry["psnr"] = float(parts.get("psnr", "nan"))
         result["modes"][name] = entry
         print(f"{name}: ok={entry['ok']} {wall:.1f}s files={new}",
               flush=True)

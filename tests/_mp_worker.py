@@ -20,7 +20,11 @@ def main() -> None:
     port = sys.argv[2]
 
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # 2 virtual devices per process -> a 2-process data=2 x view=2 mesh:
+    # the packed gather reads (data, view)-sharded cond with REPLICATED
+    # row indices across a real process boundary (the shipped config's
+    # layout on a pod).
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
 
@@ -34,7 +38,7 @@ def main() -> None:
     )
     assert jax.process_count() == 2, jax.process_count()
     assert jax.process_index() == pid
-    assert len(jax.devices()) == 2 and len(jax.local_devices()) == 1
+    assert len(jax.devices()) == 4 and len(jax.local_devices()) == 2
 
     import numpy as np
 
@@ -78,7 +82,9 @@ def main() -> None:
         "tpu": {"compute_dtype": "float32"},
     })
     model = ViewFusion.from_config(cfg)
-    mesh = make_mesh(MeshSpec(data=2, view=1))
+    # data across the two processes, view across each process's two
+    # local devices — the shipped packed_views layout on a pod slice
+    mesh = make_mesh(MeshSpec(data=2, view=2))
 
     local_b, n, hw = 2, 2, 8
     # identical global data on both hosts, sliced per host — so the
