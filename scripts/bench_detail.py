@@ -22,16 +22,37 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def timeit(fn, iters, *args):
+def timeit_chained(op, q, k, v):
+    """Per-call time of ``op(q, k, v) -> same-shape-as-q`` via the
+    marginal slope of two scan chain lengths, with the result FETCHED —
+    on the tunneled runtime, block_until_ready alone returns early and
+    independent dispatches measure absurd >peak rates (see
+    scripts/bench_stage_convs.py)."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("K",))
+    def chain(q0, k_, v_, K):
+        def body(carry, _):
+            q = op(jax.nn.relu(q0 + carry.astype(q0.dtype)), k_, v_)
+            return jnp.float32(jnp.mean(q)) * 1e-6, None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return out
+
+    def timed(K):
+        float(chain(q, k, v, K))  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(q, k, v, K))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    K1, K2 = 16, 80
+    return (timed(K2) - timed(K1)) / (K2 - K1)
 
 
 def main():
@@ -77,16 +98,16 @@ def main():
                 for _ in range(3)
             )
             scale = 1.0 / np.sqrt(c)
-            t_pal = timeit(
-                jax.jit(lambda q, k, v: _pallas_attention(q, k, v, scale)),
-                20, q, k, v,
+            t_pal = timeit_chained(
+                lambda q, k, v: _pallas_attention(q, k, v, scale), q, k, v
             )
-            t_xla = timeit(
-                jax.jit(lambda q, k, v: _xla_attention(q, k, v, scale)),
-                20, q, k, v,
+            t_xla = timeit_chained(
+                lambda q, k, v: _xla_attention(q, k, v, scale), q, k, v
             )
-            log(f"attention (B={b}, S={s}, C={c}): pallas {t_pal*1e3:.2f}ms "
-                f"xla {t_xla*1e3:.2f}ms  ratio {t_xla/t_pal:.2f}x")
+            flops = 2.0 * 2 * b * s * s * c
+            log(f"attention (B={b}, S={s}, C={c}): pallas {t_pal*1e3:.3f}ms"
+                f" ({flops/t_pal/1e12:.0f} TF/s) xla {t_xla*1e3:.3f}ms "
+                f"({flops/t_xla/1e12:.0f} TF/s)  ratio {t_xla/t_pal:.2f}x")
 
     # ---- full sampling chain ------------------------------------------
     cfg_dict = {k: v for k, v in FLAGSHIP.items()}

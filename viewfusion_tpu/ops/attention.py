@@ -89,16 +89,30 @@ def spatial_self_attention(
 ) -> jnp.ndarray:
     """Dense self-attention over (B, S, C) token tensors.
 
-    Dispatches to the Pallas TPU kernel on TPU backends (overridable via
-    ``use_pallas``); falls back to XLA einsums elsewhere (SURVEY.md §7
-    item 4 mandates the XLA fallback for CPU test meshes).
+    MEASURED default: XLA einsums.  At the paper's tiny sequence sizes
+    the VMEM-resident Pallas kernel is SLOWER than XLA's fused einsums
+    (fetch-forced marginal-slope timing on a v5e, round 3 — the earlier
+    "within noise" reading came from async dispatch under-measurement):
+    S=256/C=192: Pallas 0.241 ms (35 TF/s) vs XLA 0.053 ms (161 TF/s);
+    S=64/C=320: 0.173 vs 0.019 ms.  XLA fuses the whole
+    softmax(QK)V block with its neighbors; the custom-call boundary
+    can't.  The kernel stays as an opt-in (``use_pallas=True`` or
+    ``VF_ATTN_PALLAS=1``) and is still exercised by tests — attention
+    is 0.5% of step time either way (scripts/profile_step.py).
     """
     return _attention_impl(q, k, v, scale, use_pallas)
 
 
 def _attention_impl(q, k, v, scale, use_pallas):
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and pltpu is not None
+        import os
+
+        env = os.environ.get("VF_ATTN_PALLAS")
+        use_pallas = (
+            env not in (None, "0", "false", "")
+            and jax.default_backend() == "tpu"
+            and pltpu is not None
+        )
     if use_pallas:
         return _pallas_attention(q, k, v, scale)
     return _xla_attention(q, k, v, scale)
