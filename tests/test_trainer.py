@@ -261,3 +261,29 @@ def test_batcher_pad_final():
     # default behavior unchanged: partial batch dropped, no mask key
     batches = list(Batcher(iter(samples), 2))
     assert len(batches) == 2 and "eval_mask" not in batches[0]
+
+
+def test_trainer_segmented_generation_matches(tiny_run):
+    """tpu.chain_segments > 1 must produce byte-identical visualization
+    outputs through the trainer path (_generate_np -> chain_segment)."""
+    import dataclasses
+
+    import numpy as np
+
+    tmp_path, config_path, raw = tiny_run
+    exp = Experiment(ExperimentArgs(config=config_path, train=True),
+                     log_root=str(tmp_path / "logs_seg"))
+    target, cond, angle = exp._vis_inputs(exp.max_views)
+    vc = np.full((target.shape[0],), exp.max_views)
+
+    one = exp._generate_np(cond, vc, angle, key_salt=9)
+    exp.config = dataclasses.replace(
+        exp.config,
+        train=dataclasses.replace(exp.config.train, chain_segments=3),
+    )
+    seg = exp._generate_np(cond, vc, angle, key_salt=9)
+    np.testing.assert_array_equal(one.ret_arr, seg.ret_arr)
+    np.testing.assert_array_equal(one.generated_samples,
+                                  seg.generated_samples)
+    if one.weight_arr is not None:
+        np.testing.assert_array_equal(one.weight_arr, seg.weight_arr)

@@ -726,6 +726,13 @@ class Experiment:
         # best_model files are on disk when eval() returns (and so a
         # standalone -e process can exit immediately after).
         self.checkpoint.flush()
+        if not self.args.train:
+            # Standalone -e: nothing downstream flushes log_dict (during
+            # training the loop/inference() does) — persist the metrics
+            # to the JSONL sink here so `main.py -s run -e` leaves a
+            # record, not just stdout.
+            self.logger.log(self.log_dict, max(self.it, 0))
+            self.log_dict = {}
 
     def _dump_eval_images(self, gen, target, batch_idx: int,
                           mask=None) -> None:
