@@ -37,7 +37,7 @@ SHAPES = [
 
 @pytest.mark.parametrize("act", ["none", "silu"])
 @pytest.mark.parametrize("shape", SHAPES)
-@pytest.mark.parametrize("use_pallas", [False, True])
+@pytest.mark.parametrize("use_pallas", [False, True, "hybrid"])
 def test_forward_matches_flax(rng, shape, act, use_pallas):
     b, h, w, c, g = shape
     x = _rand(rng, (b, h, w, c))
@@ -51,7 +51,7 @@ def test_forward_matches_flax(rng, shape, act, use_pallas):
 
 
 @pytest.mark.parametrize("act", ["none", "silu"])
-@pytest.mark.parametrize("use_pallas", [False, True])
+@pytest.mark.parametrize("use_pallas", [False, True, "hybrid"])
 def test_gradients_match_flax(rng, act, use_pallas):
     b, h, w, c, g = 2, 8, 8, 32, 8
     x = _rand(rng, (b, h, w, c))
@@ -110,7 +110,7 @@ def test_dot_impl_matches_flax(rng, shape, act, monkeypatch):
                                    atol=1e-3, rtol=1e-3, err_msg=name)
 
 
-@pytest.mark.parametrize("use_pallas", [False, True])
+@pytest.mark.parametrize("use_pallas", [False, True, "hybrid"])
 def test_bfloat16_io(rng, use_pallas):
     b, h, w, c, g = 2, 8, 8, 32, 8
     x32 = _rand(rng, (b, h, w, c))

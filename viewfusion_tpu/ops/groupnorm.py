@@ -367,28 +367,37 @@ def _dispatch(use_pallas):
     step-time deltas that set the default)."""
     import os
 
+    if use_pallas == "hybrid":
+        return ("hybrid" if jax.default_backend() == "tpu"
+                else "hybrid-interpret")
     if use_pallas is None:
         env = os.environ.get("VF_GN_PALLAS")
         if env is not None:
             use_pallas = env not in ("0", "false", "")
         else:
             impl = os.environ.get("VF_GN_IMPL")
-            if impl in ("pallas", "dot", "flax"):
+            if impl in ("pallas", "dot", "flax", "hybrid"):
+                if impl == "hybrid":
+                    return ("hybrid" if jax.default_backend() == "tpu"
+                            else "hybrid-interpret")
                 if impl != "pallas":
                     return impl
                 use_pallas = True
             else:
                 # MEASURED default (flagship packed step, v5e, best of
-                # 3x30-step windows each): flax 9.00 steps/s > dot 8.60
-                # > Pallas kernel 8.20.  XLA's own GroupNorm lowering
-                # fuses the statistics pass into its producers, which
-                # both the split-reduction "dot" formulation and the
-                # Pallas custom-call boundary forbid — that fusion is
-                # worth more than their narrower reductions.  Both
-                # alternatives remain available (VF_GN_IMPL /
-                # VF_GN_PALLAS) and tested; revisit if the surrounding
-                # graph changes.
-                return "flax"
+                # 3x30-step windows each).  Round 2: flax 9.00 steps/s >
+                # dot 8.60 > full Pallas kernel 8.20 — XLA fuses the
+                # forward statistics into producers, which the
+                # custom-call boundary forbids.  Round 3: the HYBRID
+                # (XLA forward, keeping that fusion + the Pallas
+                # analytic BACKWARD replacing XLA's multi-pass GN
+                # gradient) measures 9.35 vs 9.04 steps/s (+3.5%, MFU
+                # 28.3% -> 29.3%) and is the TPU default.  CPU keeps
+                # flax (the Pallas bwd would run interpreted).  All
+                # variants stay selectable via VF_GN_IMPL=
+                # flax|dot|pallas|hybrid and tested.
+                return ("hybrid" if jax.default_backend() == "tpu"
+                        else "flax")
     if use_pallas and jax.default_backend() != "tpu":
         return "pallas-interpret"  # kernel-math validation on CPU
     return "pallas" if use_pallas else "flax"
@@ -422,6 +431,51 @@ def _gn_act_bwd(groups, eps, act, interpret, res, g):
 _gn_act_pallas.defvjp(_gn_act_fwd, _gn_act_bwd)
 
 
+# ---------------------------------------------------------------------
+# hybrid: XLA forward (keeps producer fusion — the reason the full
+# Pallas kernel measured slower), Pallas analytic backward (one fused
+# kernel replacing XLA's multi-pass GN gradient reductions, which the
+# round-3 profile places inside the 13% reduce_sum line).
+# ---------------------------------------------------------------------
+def _hybrid_fwd_math(x3, scale, bias, groups, eps, act):
+    b, l, c = x3.shape
+    cg = c // groups
+    xf = x3.astype(jnp.float32)
+    xg = xf.reshape(b, l, groups, cg)
+    m1 = jnp.mean(xg, axis=(1, 3))                 # (B, G)
+    m2 = jnp.mean(xg * xg, axis=(1, 3))
+    var_g = jnp.maximum(m2 - m1 * m1, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(m1, cg, axis=1)[:, None, :]   # (B, 1, C)
+    rstd_c = jnp.repeat(rstd_g, cg, axis=1)[:, None, :]
+    z = (xf - mean_c) * rstd_c * scale.astype(jnp.float32) + \
+        bias.astype(jnp.float32)
+    y = _act_fwd(z, act).astype(x3.dtype)
+    return y, m1[:, None, :], rstd_g[:, None, :]      # stats (B, 1, G)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_act_hybrid(x3, scale, bias, groups, eps, act, interpret):
+    return _hybrid_fwd_math(x3, scale, bias, groups, eps, act)[0]
+
+
+def _gn_act_hybrid_fwd(x3, scale, bias, groups, eps, act, interpret):
+    y, mean, rstd = _hybrid_fwd_math(x3, scale, bias, groups, eps, act)
+    return y, (x3, scale, bias, mean, rstd)
+
+
+def _gn_act_hybrid_bwd(groups, eps, act, interpret, res, g):
+    x3, scale, bias, mean, rstd = res
+    dx, dscale_p, dbias_p = _pallas_bwd(
+        x3, scale, bias, mean, rstd, g, groups, eps, act, interpret
+    )
+    return (dx, jnp.sum(dscale_p, axis=0).astype(scale.dtype),
+            jnp.sum(dbias_p, axis=0).astype(bias.dtype))
+
+
+_gn_act_hybrid.defvjp(_gn_act_hybrid_fwd, _gn_act_hybrid_bwd)
+
+
 def group_norm_act(
     x: jnp.ndarray,
     scale: jnp.ndarray,
@@ -451,6 +505,9 @@ def group_norm_act(
     if impl in ("pallas", "pallas-interpret"):
         y = _gn_act_pallas(x3, scale, bias, groups, eps, act,
                            impl == "pallas-interpret")
+    elif impl in ("hybrid", "hybrid-interpret"):
+        y = _gn_act_hybrid(x3, scale, bias, groups, eps, act,
+                           impl == "hybrid-interpret")
     elif impl == "dot":
         y = _xla_gn_act_dot(x3, scale, bias, groups, eps, act)
     else:
