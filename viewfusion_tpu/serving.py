@@ -104,7 +104,11 @@ class ViewFusionService:
                 if ckpt.exists("best_model_all.msgpack") else
                 "model.msgpack")
         restored, _ = ckpt.load(name, {"params": params})
-        self.params = restored["params"]
+        # Pin the weights on device ONCE: load() restores numpy arrays,
+        # and passing those to jit re-uploads the full params tree
+        # (~136 MB for the flagship) on EVERY batch — measured ~5 s per
+        # request over a tunneled link before this device_put.
+        self.params = jax.device_put(restored["params"])
 
         self._jnp = jnp
         self._jax = jax
