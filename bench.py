@@ -279,10 +279,10 @@ def main():
         f"({dev.device_kind}) -> MFU {mfu * 100:.1f}%")
 
     # ---------------- trainer-integrated (data-fed) ------------------
-    data_sps = None
+    data_sps = raw_sps = None
     try:
-        data_sps = bench_data_fed(train_step, params, opt_state, key, cfg,
-                                  steps_per_sec)
+        data_sps, raw_sps = bench_data_fed(train_step, params, opt_state,
+                                           key, cfg, steps_per_sec)
     except Exception as e:  # pragma: no cover
         log(f"data-fed bench failed: {e}")
 
@@ -315,6 +315,8 @@ def main():
     }
     if data_sps is not None:
         out["data_fed_steps_per_sec"] = round(data_sps, 4)
+    if raw_sps is not None:
+        out["data_fed_raw_steps_per_sec"] = round(raw_sps, 4)
     if scaling:
         out["batch_scaling"] = scaling
     print(json.dumps(out))
@@ -384,12 +386,18 @@ def bench_one_batch(model, cfg, tx, b, peak):
 
 
 def bench_data_fed(train_step, params, opt_state, key, cfg, synth_sps):
-    """Same jitted step, fed by the real shard->decode->batch pipeline."""
+    """Same jitted step, fed by the real shard->decode->batch pipeline.
+
+    Measured twice: from the reference-compatible PNG tars (interchange
+    format; the host pays a PNG decode per view) and from pre-decoded
+    `.rec` raw shards (data/rawrec.py, the production TPU path: mmap
+    reads, zero decode).  Returns (tar_sps, raw_sps)."""
     import jax
     import jax.numpy as jnp
 
     from viewfusion_tpu.config import SplitConfig
     from viewfusion_tpu.data.nmr import Batcher, create_nmr_stream, prefetch
+    from viewfusion_tpu.data.rawrec import convert_shard_dir
     from viewfusion_tpu.data.synthetic import make_synthetic_shards
 
     b = cfg.data.batch_size
@@ -397,21 +405,12 @@ def bench_data_fed(train_step, params, opt_state, key, cfg, synth_sps):
     hw = cfg.unet.image_size
     tmp = tempfile.mkdtemp(prefix="vf_bench_data_")
     make_synthetic_shards(tmp, "train", num_objects=64, image_size=hw)
-    stream = create_nmr_stream(
-        SplitConfig(path=tmp, mode="train", start_shard=0, end_shard=0),
-        shuffle_buffer=64, seed=0,
-    )
+    convert_shard_dir(tmp)
     from viewfusion_tpu.training.trainer import stratified_count_multiset
 
-    log(f"data-fed: native_loader={stream.native}")
     counts = stratified_count_multiset(b, n)
     np.random.default_rng(1).shuffle(counts)
     view_count = jnp.asarray(counts.astype(np.int32))
-    loader = prefetch(
-        iter(Batcher(stream, b, n_cond_views=n,
-                     keys=["target", "cond", "angle"])),
-        depth=2,
-    )
 
     def step_from(params, opt_state, batch, key):
         # train_step donates params/opt_state: thread the returned
@@ -422,22 +421,37 @@ def bench_data_fed(train_step, params, opt_state, key, cfg, synth_sps):
             view_count, jnp.asarray(batch["angle"]).reshape(-1),
         )
 
-    params, opt_state, loss = step_from(
-        params, opt_state, next(loader), key
-    )  # warm (reuses compile)
-    jax.block_until_ready(loss)
-    iters = 15 if jax.devices()[0].platform != "cpu" else 2
-    t0 = time.perf_counter()
-    for i in range(iters):
-        key = jax.random.fold_in(key, 1000 + i)
-        params, opt_state, loss = step_from(params, opt_state,
-                                            next(loader), key)
-    jax.block_until_ready(loss)
-    sps = iters / (time.perf_counter() - t0)
-    log(f"data-fed: {sps:.3f} steps/s ({sps / synth_sps * 100:.0f}% of "
-        f"synthetic-tensor rate; host has {os.cpu_count()} CPU core(s), "
-        f"{b * 24} PNG decodes/step)")
-    return sps
+    rates = {}
+    for fmt in ("tar", "raw"):
+        stream = create_nmr_stream(
+            SplitConfig(path=tmp, mode="train", start_shard=0, end_shard=0),
+            shuffle_buffer=64, seed=0, data_format=fmt,
+        )
+        if fmt == "tar":
+            log(f"data-fed: native_loader={stream.native}")
+        loader = prefetch(
+            iter(Batcher(stream, b, n_cond_views=n,
+                         keys=["target", "cond", "angle"])),
+            depth=2,
+        )
+        params, opt_state, loss = step_from(
+            params, opt_state, next(loader), key
+        )  # warm (reuses compile)
+        jax.block_until_ready(loss)
+        iters = 15 if jax.devices()[0].platform != "cpu" else 2
+        t0 = time.perf_counter()
+        for i in range(iters):
+            key = jax.random.fold_in(key, 1000 + i)
+            params, opt_state, loss = step_from(params, opt_state,
+                                                next(loader), key)
+        jax.block_until_ready(loss)
+        rates[fmt] = iters / (time.perf_counter() - t0)
+        decode_note = (f"{b * 24} PNG decodes/step" if fmt == "tar"
+                       else "0 decodes/step (mmap)")
+        log(f"data-fed[{fmt}]: {rates[fmt]:.3f} steps/s "
+            f"({rates[fmt] / synth_sps * 100:.0f}% of synthetic-tensor "
+            f"rate; host has {os.cpu_count()} CPU core(s), {decode_note})")
+    return rates["tar"], rates["raw"]
 
 
 if __name__ == "__main__":

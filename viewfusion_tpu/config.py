@@ -122,6 +122,10 @@ class SplitConfig:
     start_shard: int = 0
     end_shard: int = 3
     size: int = 8751  # default test-set size, reference experiment.py:198
+    # Shard format: "auto" feeds from pre-decoded `.rec` twins
+    # (data/rawrec.py) when present, falling back to the reference's
+    # PNG tars; "raw"/"tar" force one or the other.
+    format: str = "auto"
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "SplitConfig":

@@ -24,6 +24,7 @@ of torch worker reseeding (utils/dist.py:94-98).
 from __future__ import annotations
 
 import io
+import os
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional
@@ -117,6 +118,7 @@ class NMRStream:
         total_views: int = TOTAL_VIEWS,
         native: Optional[bool] = None,
         native_threads: int = 4,
+        data_format: str = "auto",
     ):
         if num_hosts > 1:
             if len(urls) % num_hosts != 0:
@@ -137,10 +139,29 @@ class NMRStream:
         )
         self.seed = seed
         self.native_threads = native_threads
+        # Pre-decoded raw shards (data/rawrec.py) skip PNG decode
+        # entirely: "auto" uses the `.rec` twin when every shard has
+        # one, "raw" requires it, "tar" forces the PNG path.
+        if data_format not in ("auto", "raw", "tar"):
+            raise ValueError(f"data_format must be auto/raw/tar, "
+                             f"got {data_format!r}")
+        from viewfusion_tpu.data.rawrec import raw_twin
+
+        twins = [raw_twin(u) for u in self.urls]
+        have_twins = all(os.path.exists(t) for t in twins)
+        if data_format == "raw" and not have_twins:
+            missing = [t for t in twins if not os.path.exists(t)]
+            raise FileNotFoundError(
+                f"data_format=raw but .rec shards are missing "
+                f"(first: {missing[0]}); build them with "
+                f"`python -m viewfusion_tpu.data.rawrec <shard-dir>`"
+            )
+        self.raw = data_format in ("auto", "raw") and have_twins
+        self.raw_urls = twins if self.raw else []
         if native is None:
             from viewfusion_tpu.data.native_loader import native_available
 
-            native = native_available()
+            native = (not self.raw) and native_available()
         self.native = native
 
     def _iter_raw(self) -> Iterator[Dict[str, bytes]]:
@@ -156,6 +177,18 @@ class NMRStream:
         """Yield (views uint8 NHWC, key); C++ decode threads when the
         native library is built (native/vfloader.cpp), PIL otherwise.
         uint8 keeps the shuffle buffer 4x smaller than float."""
+        if self.raw:
+            from viewfusion_tpu.data.rawrec import RawShardReader
+
+            reader = RawShardReader(
+                self.raw_urls, resample=self.resample, seed=self.seed,
+                shuffle=self.mode == "train",
+            )
+            try:
+                yield from reader
+            finally:
+                reader.close()
+            return
         if self.native:
             from viewfusion_tpu.data.native_loader import NativeShardReader
 
@@ -293,6 +326,7 @@ def create_nmr_stream(
     relative: bool = False,
     native: Optional[bool] = None,
     native_threads: int = 4,
+    data_format: Optional[str] = None,
 ) -> NMRStream:
     """Factory mirroring the reference ``create_webdataset``
     (data/nmr_dataset.py:64-98)."""
@@ -310,4 +344,5 @@ def create_nmr_stream(
         relative=relative,
         native=native,
         native_threads=native_threads,
+        data_format=data_format or getattr(split, "format", "auto"),
     )

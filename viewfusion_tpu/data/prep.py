@@ -193,13 +193,23 @@ def main(argv=None) -> None:
     parser.add_argument("-pc", "--percent", type=int, default=100)
     parser.add_argument("-sc", "--shard_count", type=int, default=4)
     parser.add_argument("--withhold", nargs="*", default=[])
+    parser.add_argument(
+        "--raw", action="store_true",
+        help="also write pre-decoded .rec twins next to the tar shards "
+             "(decode once at prep time; see data/rawrec.py)",
+    )
     args = parser.parse_args(argv)
     size_dict = get_dataset_size(args.src_dir, args.withhold)
     for split in SPLITS:
-        shard_dataset(
+        dest = shard_dataset(
             args.src_dir, size_dict, args.dest_dir, split,
             args.percent, args.shard_count, args.withhold,
         )
+    if args.raw:
+        from viewfusion_tpu.data.rawrec import convert_shard_dir
+
+        for path in convert_shard_dir(dest):
+            print(f"raw shard: {path}")
 
 
 if __name__ == "__main__":
