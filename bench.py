@@ -426,6 +426,7 @@ def bench_data_fed(train_step, params, opt_state, key, cfg, synth_sps):
         stream = create_nmr_stream(
             SplitConfig(path=tmp, mode="train", start_shard=0, end_shard=0),
             shuffle_buffer=64, seed=0, data_format=fmt,
+            needed_keys=["target", "cond", "angle"], n_cond_views=n,
         )
         if fmt == "tar":
             log(f"data-fed: native_loader={stream.native}")

@@ -139,3 +139,56 @@ def test_single_pass_stream_terminates(tmp_path):
 
 def test_prefetch_preserves_order(tmp_path):
     assert list(prefetch(iter(range(20)), depth=3)) == list(range(20))
+
+def test_process_sample_subset_and_u8_parity():
+    """needed/n_cond_views/uint8 fast paths consume identical RNG draws
+    and produce identical values to the full float path."""
+    views_u8 = render_views(3, image_size=8)
+    views_f32 = views_u8.astype(np.float32) / 255.0
+    for mode in ("train", "test"):
+        for i in range(40):  # spans leak/no-leak draws in train mode
+            full = process_sample(
+                views_f32, "k", mode, np.random.default_rng(i),
+                relative=True,
+            )
+            fast = process_sample(
+                views_u8, "k", mode, np.random.default_rng(i),
+                relative=True,
+                needed=frozenset(
+                    {"target", "cond", "relative_cond", "angle"}
+                ),
+                n_cond_views=5,
+            )
+            assert "all_views" not in fast
+            np.testing.assert_allclose(fast["target"], full["target"],
+                                       atol=1e-7)
+            np.testing.assert_allclose(fast["cond"], full["cond"][:5],
+                                       atol=1e-7)
+            np.testing.assert_allclose(
+                fast["relative_cond"], full["relative_cond"][:5], atol=1e-7
+            )
+            assert fast["angle"] == full["angle"]
+            assert fast["relative_angle"] == full["relative_angle"]
+
+
+def test_stream_needed_keys_matches_full(tmp_path):
+    """A trimmed stream yields the same target/cond/angle sequence as a
+    full stream with the same seed (RNG-parity end to end)."""
+    make_synthetic_shards(str(tmp_path), "train", num_objects=6,
+                          image_size=8)
+    split = SplitConfig(path=str(tmp_path), mode="train", start_shard=0,
+                        end_shard=0)
+    full = iter(Batcher(create_nmr_stream(split, shuffle_buffer=4, seed=3),
+                        batch_size=4, n_cond_views=3))
+    trimmed = iter(Batcher(
+        create_nmr_stream(split, shuffle_buffer=4, seed=3,
+                          needed_keys=["target", "cond", "angle"],
+                          n_cond_views=3),
+        batch_size=4, n_cond_views=3,
+        keys=["target", "cond", "angle"],
+    ))
+    for _ in range(4):
+        a, b = next(full), next(trimmed)
+        np.testing.assert_allclose(b["target"], a["target"], atol=1e-7)
+        np.testing.assert_allclose(b["cond"], a["cond"], atol=1e-7)
+        np.testing.assert_array_equal(b["angle"], a["angle"])

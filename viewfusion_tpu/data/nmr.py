@@ -27,7 +27,7 @@ import io
 import os
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -66,39 +66,67 @@ def process_sample(
     mode: str,
     rng: np.random.Generator,
     relative: bool = False,
+    needed: Optional[frozenset] = None,
+    n_cond_views: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Reference ``process_sample`` semantics (data/nmr_dataset.py:10-52),
-    NHWC.  ``images`` is (24, H, W, 3) float32 in [0, 1]."""
+    NHWC.  ``images`` is (24, H, W, 3), float32 in [0, 1] or uint8
+    (converted lazily — only the views a requested key touches).
+
+    The permutation/leak logic runs in *index space* so nothing is
+    materialized for keys the consumer doesn't ask for: ``needed`` (None
+    = every key) and ``n_cond_views`` (None = all 23) let the trainer
+    skip the float conversion of 24 views per sample when it only feeds
+    target + max_views cond views.  RNG draw order is identical in every
+    configuration, so a stream produces the same samples whatever subset
+    is requested (pinned by tests/test_data.py).
+    """
     v = images.shape[0]
+    to_f32 = (
+        (lambda x: np.asarray(x, np.float32) / np.float32(255.0))
+        if images.dtype == np.uint8 else np.asarray
+    )
     images_idx = np.arange(v)
     rng.shuffle(images_idx)
-    cond_images = images[images_idx]
-    target = cond_images[0]
-    angle = np.float32(2 * np.pi / v * images_idx[0])
+    # Reference: cond_images = images[perm]; target = cond_images[0].
+    order = images_idx.copy()
+    target_idx = order[0]
+    angle = np.float32(2 * np.pi / v * target_idx)
 
     # 10% of train samples re-shuffle so the target may leak into cond
-    # (data/nmr_dataset.py:27-29).
+    # (data/nmr_dataset.py:27-29).  The reference re-indexes the already
+    # permuted stack — composition order[perm2] — and its relative_angle
+    # then reads the *positional* indices perm2, a quirk kept as-is.
     if mode == "train" and rng.random() < 0.1:
         rng.shuffle(images_idx)
-        cond_images = cond_images[images_idx]
+        order = order[images_idx]
 
     relative_angle = np.float32(
         2 * np.pi / v * (images_idx[1] - images_idx[0])
     )
 
-    result = {
-        "target": target,
-        "cond": cond_images[1:],
-        "all_views": images,
+    cond_idx = order[1:]
+    if n_cond_views is not None:
+        cond_idx = cond_idx[:n_cond_views]
+
+    want = lambda k: needed is None or k in needed  # noqa: E731
+    result: Dict[str, np.ndarray] = {
         "angle": angle,
         "relative_angle": relative_angle,
         "scene_hash": key,
     }
-    if relative:
-        ref = np.broadcast_to(cond_images[1][None], cond_images.shape)
-        result["relative_cond"] = np.concatenate(
-            (ref, cond_images), axis=-1
-        )[1:]
+    if want("target"):
+        result["target"] = to_f32(images[target_idx])
+    cond = to_f32(images[cond_idx]) if (
+        want("cond") or (relative and want("relative_cond"))
+    ) else None
+    if want("cond"):
+        result["cond"] = cond
+    if want("all_views"):
+        result["all_views"] = to_f32(images)
+    if relative and want("relative_cond"):
+        ref = np.broadcast_to(to_f32(images[order[1]])[None], cond.shape)
+        result["relative_cond"] = np.concatenate((ref, cond), axis=-1)
     return result
 
 
@@ -119,6 +147,8 @@ class NMRStream:
         native: Optional[bool] = None,
         native_threads: int = 4,
         data_format: str = "auto",
+        needed_keys: Optional[Sequence[str]] = None,
+        n_cond_views: Optional[int] = None,
     ):
         if num_hosts > 1:
             if len(urls) % num_hosts != 0:
@@ -139,6 +169,13 @@ class NMRStream:
         )
         self.seed = seed
         self.native_threads = native_threads
+        # Materialize only the keys/views the consumer feeds to the
+        # model (None = everything); RNG parity across subsets is pinned
+        # by tests.
+        self.needed_keys = (
+            None if needed_keys is None else frozenset(needed_keys)
+        )
+        self.n_cond_views = n_cond_views
         # Pre-decoded raw shards (data/rawrec.py) skip PNG decode
         # entirely: "auto" uses the `.rec` twin when every shard has
         # one, "raw" requires it, "tar" forces the PNG path.
@@ -211,8 +248,8 @@ class NMRStream:
         def process(item):
             images, key = item
             return process_sample(
-                images.astype(np.float32) / 255.0, key, self.mode,
-                self.rng, self.relative,
+                images, key, self.mode, self.rng, self.relative,
+                needed=self.needed_keys, n_cond_views=self.n_cond_views,
             )
 
         for raw in self._iter_decoded():
@@ -275,12 +312,12 @@ class Batcher:
         keys = self.keys or [k for k in batch[0] if k != "scene_hash"]
         out = {}
         for k in keys:
-            stacked = np.stack([s[k] for s in batch])
+            items = [s[k] for s in batch]
             if k in ("cond", "relative_cond") and self.n_cond_views:
-                stacked = np.ascontiguousarray(
-                    stacked[:, : self.n_cond_views]
-                )
-            out[k] = stacked
+                # Trim per-sample BEFORE stacking: stacking all 23 cond
+                # views then slicing copies ~4x the bytes actually kept.
+                items = [x[: self.n_cond_views] for x in items]
+            out[k] = np.stack(items)
         out["scene_hash"] = [s["scene_hash"] for s in batch]
         if self.pad_final:
             out["eval_mask"] = np.ones(len(batch), np.float32)
@@ -327,6 +364,8 @@ def create_nmr_stream(
     native: Optional[bool] = None,
     native_threads: int = 4,
     data_format: Optional[str] = None,
+    needed_keys: Optional[Sequence[str]] = None,
+    n_cond_views: Optional[int] = None,
 ) -> NMRStream:
     """Factory mirroring the reference ``create_webdataset``
     (data/nmr_dataset.py:64-98)."""
@@ -345,4 +384,6 @@ def create_nmr_stream(
         native=native,
         native_threads=native_threads,
         data_format=data_format or getattr(split, "format", "auto"),
+        needed_keys=needed_keys,
+        n_cond_views=n_cond_views,
     )

@@ -357,16 +357,19 @@ class Experiment:
 
         self.train_loader: Optional[Iterator] = None
         if self.args.train:
+            # materialize only what the train step consumes — all_views
+            # alone is ~24x the transferred payload (B, 24, H, W, 3),
+            # and needed_keys/n_cond_views push the trim into
+            # process_sample so untouched views never convert to float
+            train_keys = ["target", self.cond_key, self.angle_key]
             stream = create_nmr_stream(
                 cfg.data.train, shuffle_buffer=1000, seed=seed,
                 host_id=jax.process_index(), num_hosts=nproc,
                 resample=True, relative=self.relative,
                 native=cfg.train.native_loader,
                 native_threads=native_threads,
+                needed_keys=train_keys, n_cond_views=self.max_views,
             )
-            # collate only what the train step consumes — all_views alone
-            # is ~24x the transferred payload (B, 24, H, W, 3)
-            train_keys = ["target", self.cond_key, self.angle_key]
             self.train_loader = prefetch(
                 iter(Batcher(stream, self.local_batch_size,
                              n_cond_views=self.max_views,
@@ -389,6 +392,8 @@ class Experiment:
                 cfg.data.test, shuffle_buffer=0, seed=seed + 1,
                 host_id=jax.process_index(), num_hosts=nproc,
                 resample=not exact, relative=self.relative,
+                needed_keys=["target", self.cond_key, self.angle_key],
+                n_cond_views=self.max_views,
             )
             it = iter(Batcher(stream, self.local_batch_size,
                               n_cond_views=self.max_views,
