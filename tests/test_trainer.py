@@ -287,3 +287,39 @@ def test_trainer_segmented_generation_matches(tiny_run):
                                   seg.generated_samples)
     if one.weight_arr is not None:
         np.testing.assert_array_equal(one.weight_arr, seg.weight_arr)
+
+
+def test_u8_feed_matches_float_feed(tiny_run):
+    """tpu.u8_feed ships uint8 batches + normalizes inside the jitted
+    step.  The u8->f32 cast is exact and the /255 divide is the same
+    IEEE op the host pipeline runs, but INSIDE jit XLA may fuse the
+    divide into downstream consumers (q_sample FMA, conv input) with
+    different intermediate rounding — so the guarantee is ulp-level
+    agreement of the loss trajectory, not bitwise equality (measured
+    max rel delta ~1e-7 over 6 steps).
+
+    native_loader is forced off: the C++ decode threads yield samples
+    in completion order (documented in NativeShardReader), so two runs
+    would see different shuffle-buffer contents and the trajectories
+    could not be compared at all."""
+    tmp_path, config_path, raw = tiny_run
+
+    def run(u8, tag):
+        cfg = copy.deepcopy(raw)
+        cfg["model"]["max_it"] = 6
+        cfg["model"]["log_every"] = 1
+        cfg["model"]["checkpoint_every"] = 0
+        cfg.setdefault("tpu", {})["u8_feed"] = u8
+        cfg["tpu"]["native_loader"] = False
+        path = str(tmp_path / f"u8_{tag}.yaml")
+        with open(path, "w") as f:
+            yaml.dump(cfg, f)
+        exp = Experiment(ExperimentArgs(config=path, train=True),
+                         log_root=str(tmp_path / f"logs_u8_{tag}"))
+        exp.train()
+        with open(os.path.join(exp.out_dir, "metrics.jsonl")) as f:
+            return [json.loads(l)["loss"] for l in f if "loss" in l]
+
+    on, off = run(True, "on"), run(False, "off")
+    assert len(on) == len(off) > 0
+    np.testing.assert_allclose(on, off, rtol=2e-6)

@@ -246,6 +246,14 @@ class TrainConfig:
     # thread (training/checkpoint.py save_async).  Disable on hosts
     # where background transfers contend with device dispatch.
     async_checkpoint: bool = True
+    # Feed train/eval image batches to the device as uint8 and
+    # normalize (x.astype(float32)/255) inside the jitted step: 4x
+    # fewer host->device bytes and no host-side float conversion.
+    # The cast is exact and the divide is the same IEEE op the host
+    # would run; XLA fusing it into downstream consumers can differ
+    # from host normalization by ~1 ulp (pinned at rtol 2e-6 by
+    # tests/test_trainer.py::test_u8_feed_matches_float_feed).
+    u8_feed: bool = True
 
 
 @dataclass(frozen=True)

@@ -113,7 +113,14 @@ def native_available() -> bool:
 class NativeShardReader:
     """Iterates (views_uint8_NHWC (V, H, W, 3), key) decoded by C++
     threads.  Raises FileNotFoundError up-front for missing shards and
-    RuntimeError if the stream produces no readable samples."""
+    RuntimeError if the stream produces no readable samples.
+
+    Sample ORDER is thread-completion order and therefore not
+    reproducible across runs (same trade as a multi-worker torch
+    dataloader); the downstream shuffle buffer makes the stream
+    statistically equivalent either way.  Tests that compare loss
+    trajectories across two runs must set tpu.native_loader: false
+    to get the sequential (deterministic) Python reader."""
 
     def __init__(self, urls: List[str], total_views: int = 24,
                  n_threads: int = 4, resample: bool = True, seed: int = 0,

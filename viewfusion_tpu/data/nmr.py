@@ -68,6 +68,7 @@ def process_sample(
     relative: bool = False,
     needed: Optional[frozenset] = None,
     n_cond_views: Optional[int] = None,
+    out_dtype: type = np.float32,
 ) -> Dict[str, np.ndarray]:
     """Reference ``process_sample`` semantics (data/nmr_dataset.py:10-52),
     NHWC.  ``images`` is (24, H, W, 3), float32 in [0, 1] or uint8
@@ -82,10 +83,12 @@ def process_sample(
     is requested (pinned by tests/test_data.py).
     """
     v = images.shape[0]
-    to_f32 = (
-        (lambda x: np.asarray(x, np.float32) / np.float32(255.0))
-        if images.dtype == np.uint8 else np.asarray
-    )
+    # ``out_dtype=np.uint8`` keeps image payloads uint8 (consumer
+    # normalizes on device, tpu.u8_feed); float input stays float.
+    if images.dtype == np.uint8 and out_dtype is not np.uint8:
+        to_f32 = lambda x: np.asarray(x, np.float32) / np.float32(255.0)  # noqa: E731
+    else:
+        to_f32 = np.asarray
     images_idx = np.arange(v)
     rng.shuffle(images_idx)
     # Reference: cond_images = images[perm]; target = cond_images[0].
@@ -149,6 +152,7 @@ class NMRStream:
         data_format: str = "auto",
         needed_keys: Optional[Sequence[str]] = None,
         n_cond_views: Optional[int] = None,
+        out_dtype: type = np.float32,
     ):
         if num_hosts > 1:
             if len(urls) % num_hosts != 0:
@@ -176,6 +180,7 @@ class NMRStream:
             None if needed_keys is None else frozenset(needed_keys)
         )
         self.n_cond_views = n_cond_views
+        self.out_dtype = out_dtype
         # Pre-decoded raw shards (data/rawrec.py) skip PNG decode
         # entirely: "auto" uses the `.rec` twin when every shard has
         # one, "raw" requires it, "tar" forces the PNG path.
@@ -250,6 +255,7 @@ class NMRStream:
             return process_sample(
                 images, key, self.mode, self.rng, self.relative,
                 needed=self.needed_keys, n_cond_views=self.n_cond_views,
+                out_dtype=self.out_dtype,
             )
 
         for raw in self._iter_decoded():
@@ -366,6 +372,7 @@ def create_nmr_stream(
     data_format: Optional[str] = None,
     needed_keys: Optional[Sequence[str]] = None,
     n_cond_views: Optional[int] = None,
+    out_dtype: type = np.float32,
 ) -> NMRStream:
     """Factory mirroring the reference ``create_webdataset``
     (data/nmr_dataset.py:64-98)."""
@@ -386,4 +393,5 @@ def create_nmr_stream(
         data_format=data_format or getattr(split, "format", "auto"),
         needed_keys=needed_keys,
         n_cond_views=n_cond_views,
+        out_dtype=out_dtype,
     )

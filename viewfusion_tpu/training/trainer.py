@@ -53,6 +53,21 @@ from viewfusion_tpu.utils.image import make_grid, to_uint8
 __all__ = ["Experiment", "TrainState", "stratified_count_multiset"]
 
 
+def _norm_img(x):
+    """uint8 image batch -> float32 in [0, 1]; float passes through.
+
+    Under tpu.u8_feed the host ships uint8 pixels (4x fewer H2D bytes)
+    and this runs inside the jitted step.  The u8->f32 cast is exact
+    and the /255 divide is the same IEEE op the host pipeline would
+    run, but XLA may fuse the divide into downstream consumers with
+    different intermediate rounding — equivalence to float feeding is
+    ulp-level (~1e-7), pinned by
+    tests/test_trainer.py::test_u8_feed_matches_float_feed."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / np.float32(255.0)
+    return x
+
+
 def stratified_count_multiset(b: int, max_views: int) -> np.ndarray:
     """The packed path's per-batch view-count multiset: each of
     1..max_views floor(b / max_views) times, with the b % max_views
@@ -257,20 +272,37 @@ class Experiment:
 
         self.state = replicate(self.state, self.mesh)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+
+        # Each sampler entry normalizes a possibly-uint8 cond on device
+        # (tpu.u8_feed) — inside jit, so XLA fuses the u8->f32 divide
+        # into the first consumer and the H2D transfer stays 4x smaller.
+        def _gen(params, key, cond, vc, angle, packed_idx=None,
+                 capture_aux=True):
+            return self.model.generate(
+                params, key, _norm_img(cond), vc, angle,
+                packed_idx=packed_idx, capture_aux=capture_aux,
+                sample_num=self.config.train.sample_num,
+            )
+
+        def _gen_ddim(params, key, cond, vc, angle, packed_idx=None):
+            return self.model.generate_ddim(
+                params, key, _norm_img(cond), vc, angle,
+                packed_idx=packed_idx,
+                num_steps=self.config.train.ddim_steps,
+                eta=self.config.train.ddim_eta,
+            )
+
+        def _chain_segment(params, carry, ts, cond, vc, angle, **kw):
+            return self.model.chain_segment(
+                params, carry, ts, _norm_img(cond), vc, angle,
+                sample_num=self.config.train.sample_num, **kw,
+            )
+
         self._jit_generate = jax.jit(
-            partial(self.model.generate,
-                    sample_num=self.config.train.sample_num),
-            static_argnames=("capture_aux",),
+            _gen, static_argnames=("capture_aux",)
         )
-        self._jit_generate_ddim = jax.jit(
-            partial(self.model.generate_ddim,
-                    num_steps=self.config.train.ddim_steps,
-                    eta=self.config.train.ddim_eta)
-        )
-        self._jit_chain_segment = jax.jit(
-            partial(self.model.chain_segment,
-                    sample_num=self.config.train.sample_num)
-        )
+        self._jit_generate_ddim = jax.jit(_gen_ddim)
+        self._jit_chain_segment = jax.jit(_chain_segment)
 
     @property
     def _infer_params(self):
@@ -302,17 +334,20 @@ class Experiment:
         return out.generated_samples
 
     def _train_step_impl(self, state: TrainState, batch, rng):
+        target = _norm_img(batch["target"])
+        cond = _norm_img(batch[self.cond_key])
+
         def loss_fn(p):
             if self.config.train.packed_views:
                 return self.model.loss_packed(
                     p, rng,
-                    batch["target"], batch[self.cond_key],
+                    target, cond,
                     batch["view_count"], batch[self.angle_key],
                     batch["sample_idx"], batch["view_idx"],
                 )
             return self.model.loss(
                 p, rng,
-                batch["target"], batch[self.cond_key],
+                target, cond,
                 batch["view_count"], batch[self.angle_key],
                 deterministic=self.config.unet.dropout == 0.0,
             )
@@ -369,6 +404,7 @@ class Experiment:
                 native=cfg.train.native_loader,
                 native_threads=native_threads,
                 needed_keys=train_keys, n_cond_views=self.max_views,
+                out_dtype=np.uint8 if cfg.train.u8_feed else np.float32,
             )
             self.train_loader = prefetch(
                 iter(Batcher(stream, self.local_batch_size,
@@ -394,6 +430,7 @@ class Experiment:
                 resample=not exact, relative=self.relative,
                 needed_keys=["target", self.cond_key, self.angle_key],
                 n_cond_views=self.max_views,
+                out_dtype=np.uint8 if cfg.train.u8_feed else np.float32,
             )
             it = iter(Batcher(stream, self.local_batch_size,
                               n_cond_views=self.max_views,
@@ -681,7 +718,7 @@ class Experiment:
                 jax.random.PRNGKey(self.config.train.seed + 17), len(ssims)
             )
             gen = self._eval_samples(key, device_batch)
-            target = device_batch["target"]
+            target = _norm_img(device_batch["target"])
             # eval_mask weights padded rows of the exact-epoch final
             # batch to zero; ordinary batches weight every row 1.
             mask = device_batch.get(
@@ -784,7 +821,7 @@ class Experiment:
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.config.train.seed + 23), key_salt
         )
-        cond = jnp.asarray(cond)
+        cond = _norm_img(jnp.asarray(cond))
         view_count = jnp.asarray(view_count, jnp.int32)
         angle = jnp.asarray(angle, jnp.float32)
         segs = self.config.train.chain_segments
