@@ -212,3 +212,31 @@ def test_warmup_buckets_and_mixed_steps(service):
     assert len(results) == 6
     for r in results.values():
         assert r.shape == (8, 8, 3) and np.all(np.isfinite(r))
+
+
+def test_dpm_sampler_requests(service, http_server):
+    """"sampler": "dpm" rides its own (steps, sampler) bucket; invalid
+    sampler names map to 400 at the HTTP layer."""
+    from viewfusion_tpu.serving import ClientError
+
+    rng = np.random.default_rng(2)
+    cond = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+    service.warmup([4], sampler="dpm")
+    out = service.submit(cond, angle=0.7, steps=4, sampler="dpm")
+    assert out.shape == (8, 8, 3) and np.all(np.isfinite(out))
+    # an ODE solver: same request twice -> different rng fold but no
+    # injected noise path differences beyond the initial y_T draw
+    with pytest.raises(ClientError, match="sampler"):
+        service.submit(cond, angle=0.0, sampler="plms")
+    with pytest.raises(ClientError, match="steps >= 2"):
+        service.submit(cond, angle=0.0, steps=1, sampler="dpm")
+
+    status, body = _post(http_server, {
+        "views": [cond[0].tolist()], "angle": 1.0, "steps": 4,
+        "sampler": "dpm",
+    })
+    assert status == 200 and "image" in body
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(http_server, {"views": [cond[0].tolist()], "angle": 1.0,
+                            "sampler": "nope"})
+    assert exc.value.code == 400

@@ -323,3 +323,34 @@ def test_u8_feed_matches_float_feed(tiny_run):
     on, off = run(True, "on"), run(False, "off")
     assert len(on) == len(off) > 0
     np.testing.assert_allclose(on, off, rtol=2e-6)
+
+
+def test_eval_with_dpm_sampler(tiny_run):
+    """tpu.sampler: dpm drives eval through DPM-Solver++(2M); an
+    unknown sampler name fails loudly instead of silently falling back
+    to the ancestral chain."""
+    tmp_path, config_path, raw = tiny_run
+    cfg = copy.deepcopy(raw)
+    cfg["model"]["max_it"] = 4
+    cfg["model"]["validate_every"] = 4
+    cfg["model"]["validate_from"] = 4
+    cfg.setdefault("tpu", {})["sampler"] = "dpm"
+    cfg["tpu"]["dpm_steps"] = 4
+    path = str(tmp_path / "dpm.yaml")
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+    exp = Experiment(ExperimentArgs(config=path, train=True),
+                     log_root=str(tmp_path / "logs_dpm"))
+    exp.train()
+    with open(os.path.join(exp.out_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert any("psnr" in r for r in recs)
+
+    cfg["tpu"]["sampler"] = "plms"
+    bad = str(tmp_path / "bad_sampler.yaml")
+    with open(bad, "w") as f:
+        yaml.dump(cfg, f)
+    exp2 = Experiment(ExperimentArgs(config=bad, train=True),
+                      log_root=str(tmp_path / "logs_bad"))
+    with pytest.raises(ValueError, match="unknown tpu.sampler"):
+        exp2.train()

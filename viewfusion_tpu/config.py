@@ -201,10 +201,13 @@ class TrainConfig:
     native_loader: Optional[bool] = None
     native_threads: int = 4
     # Eval-time sampler: "ddpm" = reference-parity full ancestral chain;
-    # "ddim" = fast strided sampler (models/view_fusion.py generate_ddim).
+    # "ddim" = fast strided sampler (models/view_fusion.py generate_ddim);
+    # "dpm" = DPM-Solver++(2M), second-order ODE solver — DDIM-eta-0
+    # quality in fewer steps (models/view_fusion.py generate_dpm).
     sampler: str = "ddpm"
     ddim_steps: int = 50
     ddim_eta: float = 1.0
+    dpm_steps: int = 20
     # Exponential moving average of params (standard diffusion practice;
     # the reference has none). 0 = off; typical 0.9999. Eval/inference
     # use the EMA weights when enabled.

@@ -612,3 +612,96 @@ class ViewFusion:
         (y_t, _), _ = jax.lax.scan(step, (y_t, k_scan),
                                    (ts, ts_prev))
         return y_t
+
+    def generate_dpm(
+        self,
+        params: Params,
+        rng: jax.Array,
+        y_cond: jnp.ndarray,
+        view_count: jnp.ndarray,
+        angle: jnp.ndarray,
+        num_steps: int = 20,
+        y_t: Optional[jnp.ndarray] = None,
+        packed_idx=None,
+    ) -> jnp.ndarray:
+        """DPM-Solver++(2M) (Lu et al. 2022): deterministic second-order
+        multistep solver of the probability-flow ODE in the
+        data-prediction (x0) parameterization — one UNet pass per step,
+        second-order accuracy in the half-log-SNR step, so it reaches
+        DDIM-eta-0 quality in substantially fewer steps (convergence
+        order pinned analytically by tests/test_dpm.py).
+
+        Same trained model, gammas buffer, x0 clamp, and
+        denoise-to-x0 final step as :meth:`generate_ddim`; like DDIM it
+        is a pure extension — reference-parity sampling remains
+        :meth:`generate` (model/view_fusion.py:179-214).
+        """
+        sched = self.schedule
+        T = sched.num_timesteps
+        assert 2 <= num_steps <= T
+        # Uniform-in-lambda (half-log-SNR) step grid, as the DPM-Solver
+        # paper prescribes: uniform-in-t spacing makes the final steps
+        # huge in lambda (the 2M extrapolation coefficient h/2h_prev
+        # blows up and convergence degrades — measured on the analytic
+        # oracle in tests/test_dpm.py).  Schedule buffers are concrete,
+        # so the grid is computed host-side at trace time; duplicate
+        # nearest-index hits collapse (num_steps is an upper bound when
+        # it approaches T).
+        import numpy as _np
+
+        g_np = _np.asarray(sched.gammas, _np.float64)
+        lam_np = 0.5 * (_np.log(g_np) - _np.log1p(-g_np))
+        targets = _np.linspace(lam_np[-1], lam_np[0], num_steps)
+        idx = _np.abs(lam_np[None, :] - targets[:, None]).argmin(axis=1)
+        ts = jnp.asarray(_np.unique(idx)[::-1].copy(), jnp.int32)
+        ts_next = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+
+        b, n, h, w, _ = y_cond.shape
+        if y_t is None:
+            y_t = jax.random.normal(rng, (b, h, w, 3), jnp.float32)
+        mask = view_mask(view_count, n)
+        angle = angle.reshape(-1)
+        gammas = sched.gammas
+
+        def x0_pred(y, t):
+            noise_level = jnp.full((b,), gammas[t], jnp.float32)
+            unet_out = self._denoise_views(
+                params, y_cond, y, noise_level, angle,
+                packed_idx=packed_idx,
+            )
+            eps, _, _ = self.compose(unet_out, mask,
+                                     self.weighting_inference)
+            x0 = (
+                sched.sqrt_recip_gammas[t] * y
+                - sched.sqrt_recipm1_gammas[t] * eps
+            )
+            return jnp.clip(x0, -1.0, 1.0)
+
+        def lam(g):  # half-log-SNR: log(alpha/sigma), alpha^2 = gamma
+            return 0.5 * (jnp.log(g) - jnp.log1p(-g))
+
+        def step(carry, t_pair):
+            y, x0_prev, h_prev, first = carry
+            t, t_next = t_pair
+            x0 = x0_pred(y, t)
+            g_cur = gammas[t]
+            g_next = gammas[jnp.maximum(t_next, 0)]  # guarded by where
+            hh = lam(g_next) - lam(g_cur)
+            # 2M correction: extrapolate x0 through the previous
+            # evaluation; first step falls back to first order.  The
+            # placeholder h_prev=1 on step 0 keeps c finite (the where
+            # still evaluates both branches).
+            c = hh / (2.0 * h_prev)
+            d = jnp.where(first, x0, (1.0 + c) * x0 - c * x0_prev)
+            y_upd = (
+                jnp.sqrt((1.0 - g_next) / (1.0 - g_cur)) * y
+                - jnp.sqrt(g_next) * jnp.expm1(-hh) * d
+            )
+            # final step (t_next == -1): jump to the clean prediction,
+            # the gamma_prev = 1 limit — same convention as generate_ddim
+            y_next = jnp.where(t_next >= 0, y_upd, x0)
+            return (y_next, x0, hh, jnp.zeros((), bool)), None
+
+        init = (y_t, jnp.zeros_like(y_t), jnp.ones(()), jnp.ones((), bool))
+        (y_t, _, _, _), _ = jax.lax.scan(step, init, (ts, ts_next))
+        return y_t

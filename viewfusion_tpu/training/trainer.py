@@ -292,6 +292,13 @@ class Experiment:
                 eta=self.config.train.ddim_eta,
             )
 
+        def _gen_dpm(params, key, cond, vc, angle, packed_idx=None):
+            return self.model.generate_dpm(
+                params, key, _norm_img(cond), vc, angle,
+                packed_idx=packed_idx,
+                num_steps=self.config.train.dpm_steps,
+            )
+
         def _chain_segment(params, carry, ts, cond, vc, angle, **kw):
             return self.model.chain_segment(
                 params, carry, ts, _norm_img(cond), vc, angle,
@@ -302,6 +309,7 @@ class Experiment:
             _gen, static_argnames=("capture_aux",)
         )
         self._jit_generate_ddim = jax.jit(_gen_ddim)
+        self._jit_generate_dpm = jax.jit(_gen_dpm)
         self._jit_chain_segment = jax.jit(_chain_segment)
 
     @property
@@ -313,8 +321,8 @@ class Experiment:
 
     def _eval_samples(self, key, device_batch):
         """Eval-time generation: reference-parity ancestral chain by
-        default; fast DDIM when tpu.sampler == "ddim"; packed per-step
-        UNet rows when tpu.packed_views."""
+        default; fast DDIM when tpu.sampler == "ddim"; DPM-Solver++(2M)
+        when "dpm"; packed per-step UNet rows when tpu.packed_views."""
         cond = device_batch[self.cond_key]
         vc = device_batch["view_count"]
         angle = device_batch[self.angle_key]
@@ -326,6 +334,16 @@ class Experiment:
             return self._jit_generate_ddim(
                 self._infer_params, key, cond, vc, angle,
                 packed_idx=packed_idx,
+            )
+        if self.config.train.sampler == "dpm":
+            return self._jit_generate_dpm(
+                self._infer_params, key, cond, vc, angle,
+                packed_idx=packed_idx,
+            )
+        if self.config.train.sampler != "ddpm":
+            raise ValueError(
+                f"unknown tpu.sampler {self.config.train.sampler!r}; "
+                "options: ddpm (reference ancestral), ddim, dpm"
             )
         out = self._jit_generate(
             self._infer_params, key, cond, vc, angle,
