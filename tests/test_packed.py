@@ -208,3 +208,73 @@ def test_packed_mesh_data_x_view(tiny_config, rng):
                      jax.tree_util.tree_leaves(grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_device_feed_salt_alignment(tmp_path):
+    """The packed path preps batches on a feeder thread
+    (trainer._device_feed); the stratified count salt must track
+    self.it exactly — fresh start salts are 1..max_it and a resume
+    continues at it+1 (an off-by-one would silently train on different
+    counts than the checkpoint label claims)."""
+    import copy
+    import os
+
+    import yaml
+
+    from tests.conftest import TINY_CONFIG
+    from viewfusion_tpu.data.synthetic import make_synthetic_shards
+    from viewfusion_tpu.training.trainer import ExperimentArgs
+
+    data_dir = str(tmp_path / "data")
+    make_synthetic_shards(data_dir, "train", num_objects=8, image_size=8)
+    make_synthetic_shards(data_dir, "test", num_objects=8, image_size=8)
+    raw = copy.deepcopy(TINY_CONFIG)
+    for split in ("train", "test"):
+        raw["data"]["params"][split]["params"]["path"] = data_dir
+    raw["data"]["params"]["test"]["params"]["size"] = 8
+    raw["data"]["params"]["batch_size"] = 4
+    raw["model"]["max_it"] = 4
+    raw["model"]["checkpoint_every"] = 2
+    raw["model"]["validate_every"] = 0
+    raw.setdefault("tpu", {})["packed_views"] = True
+    raw["tpu"]["native_loader"] = False
+    config_path = str(tmp_path / "packed.yaml")
+    with open(config_path, "w") as f:
+        yaml.dump(raw, f)
+
+    salts = []
+    orig = Experiment._global_packed_counts
+
+    def spy(self, salt):
+        salts.append(salt)
+        return orig(self, salt)
+
+    Experiment._global_packed_counts = spy
+    try:
+        exp = Experiment(ExperimentArgs(config=config_path, train=True),
+                         log_root=str(tmp_path / "logs"))
+        exp.train()
+        assert exp.it == 4
+        # fresh start: it goes -1 -> 0 on the first step (reference
+        # counts from 0); feeder may prep a couple past max_it
+        assert salts[:5] == [0, 1, 2, 3, 4], salts[:7]
+        with open(os.path.join(exp.out_dir, "metrics.jsonl")) as f:
+            assert any("loss" in line for line in f)
+
+        salts.clear()
+        # resume reads the RUN DIR's config.yaml (reference --src
+        # precedence, experiment.py:34-41) — extend max_it there
+        raw["model"]["max_it"] = 7
+        with open(os.path.join(exp.out_dir, "config.yaml"), "w") as f:
+            yaml.dump(raw, f)
+        exp2 = Experiment(
+            ExperimentArgs(config=config_path, train=True, resume=True,
+                           src=exp.out_dir),
+            log_root=str(tmp_path / "logs2"),
+        )
+        assert exp2.it == 4
+        exp2.train()
+        assert exp2.it == 7
+        assert salts[:3] == [5, 6, 7], salts[:5]
+    finally:
+        Experiment._global_packed_counts = orig
