@@ -33,18 +33,26 @@ import yaml
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SETTINGS = [
-    ("ddim", 250),   # quality anchor: longest practical strided chain
-    ("ddim", 50),    # shipped default
+    ("ddim", 250),    # quality anchor: longest practical strided chain
+    ("ddim", 50),     # shipped default (eta=1, stochastic)
     ("ddim", 25),
-    ("dpm", 20),     # shipped default dpm_steps
+    ("ddim0", 50),    # eta=0: deterministic ODE — the apples-to-apples
+    ("ddim0", 20),    #        baseline for the (deterministic) solver
+    ("dpm", 50),
+    ("dpm", 20),      # default dpm_steps
     ("dpm", 10),
-    ("dpm", 5),
+    ("dpm_sde", 50),  # 2nd-order + per-step noise (self-correcting)
+    ("dpm_sde", 20),
+    ("dpm_sde", 10),
 ]
 
 
 def run_eval(src_run, workdir, sampler, steps, test_size):
     """Copy the run dir, patch sampler config, run `-e`, parse metrics."""
     run = os.path.join(workdir, f"{sampler}-{steps}")
+    row_cache = os.path.join(run, "row.json")
+    if os.path.exists(row_cache):
+        return json.load(open(row_cache))
     os.makedirs(run, exist_ok=True)
     for f in ("config.yaml", "best_model_all.msgpack", "model.msgpack"):
         src = os.path.join(src_run, f)
@@ -53,11 +61,13 @@ def run_eval(src_run, workdir, sampler, steps, test_size):
     cfg_path = os.path.join(run, "config.yaml")
     cfg = yaml.safe_load(open(cfg_path))
     tpu = cfg.setdefault("tpu", {})
-    tpu["sampler"] = sampler
-    if sampler == "ddim":
-        tpu["ddim_steps"] = steps
-    else:
+    if sampler in ("dpm", "dpm_sde"):
+        tpu["sampler"] = sampler
         tpu["dpm_steps"] = steps
+    else:  # "ddim" (eta=1, shipped default) or "ddim0" (eta=0, ODE)
+        tpu["sampler"] = "ddim"
+        tpu["ddim_steps"] = steps
+        tpu["ddim_eta"] = 0.0 if sampler == "ddim0" else 1.0
     cfg["data"]["params"]["test"]["params"]["size"] = test_size
     yaml.dump(cfg, open(cfg_path, "w"))
 
@@ -81,12 +91,15 @@ def run_eval(src_run, workdir, sampler, steps, test_size):
             d = json.loads(line)
             if "psnr" in d:
                 rec = d
-    return {
+    row = {
         "sampler": sampler, "steps": steps,
         "psnr": round(float(rec["psnr"]), 3),
         "ssim": round(float(rec["ssim"]), 4),
         "wall_s_incl_compile": round(wall, 1),
     }
+    with open(row_cache, "w") as f:
+        json.dump(row, f)
+    return row
 
 
 def main():

@@ -202,3 +202,62 @@ def test_dpm_bad_steps_raises(tiny_config, rng):
         model.generate_dpm(None, jax.random.PRNGKey(0), cond,
                            jnp.ones((1,), jnp.int32),
                            jnp.zeros((1,)), num_steps=1)
+
+
+def test_dpm_sde_matches_target_distribution(rng):
+    """SDE variant on the analytic oracle: each step is an exact
+    conditional Gaussian given a perfect x0 predictor, so the final
+    samples must be distributed as the data, N(0, s^2 I).  (The ODE
+    variant maps each start point deterministically; only the SDE
+    resamples the full marginal.)"""
+    model = _oracle()
+    b, hw, n = 8, 8, 2
+    cond = jnp.zeros((b, n, hw, hw, 3), jnp.float32)
+    vc = jnp.full((b,), n, jnp.int32)
+    angle = jnp.zeros((b,), jnp.float32)
+    out = model.generate_dpm(None, jax.random.PRNGKey(3), cond, vc,
+                             angle, num_steps=32, sde=True)
+    vals = np.asarray(out).ravel()  # 8*8*8*3 = 1536 samples
+    s = float(np.sqrt(S2))
+    assert abs(float(vals.mean())) < 0.02, vals.mean()
+    assert abs(float(vals.std()) - s) < 0.1 * s, (vals.std(), s)
+
+
+def test_dpm_sde_stochastic_and_finite(tiny_config, rng):
+    model = ViewFusion.from_config(tiny_config)
+    b, n, hw = 2, 3, 8
+    y0 = jnp.asarray(rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32))
+    cond = jnp.asarray(
+        rng.uniform(0, 1, (b, n, hw, hw, 3)).astype(np.float32)
+    )
+    vc = jnp.asarray(rng.integers(1, n + 1, (b,)).astype(np.int32))
+    angle = jnp.asarray(rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), cond, y0)
+    y_init = jnp.asarray(rng.standard_normal((b, hw, hw, 3)).astype(
+        np.float32))
+    a = model.generate_dpm(params, jax.random.PRNGKey(1), cond, vc,
+                           angle, num_steps=4, y_t=y_init, sde=True)
+    b_ = model.generate_dpm(params, jax.random.PRNGKey(2), cond, vc,
+                            angle, num_steps=4, y_t=y_init, sde=True)
+    assert np.all(np.isfinite(np.asarray(a)))
+    # different keys -> different injected noise -> different samples
+    assert np.abs(np.asarray(a) - np.asarray(b_)).max() > 1e-3
+
+
+def test_dpm_time_grid_option(tiny_config, rng):
+    model = ViewFusion.from_config(tiny_config)
+    b, n, hw = 2, 2, 8
+    cond = jnp.asarray(
+        rng.uniform(0, 1, (b, n, hw, hw, 3)).astype(np.float32)
+    )
+    y0 = jnp.asarray(rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32))
+    vc = jnp.full((b,), n, jnp.int32)
+    angle = jnp.zeros((b,), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), cond, y0)
+    out = model.generate_dpm(params, jax.random.PRNGKey(1), cond, vc,
+                             angle, num_steps=4, grid="time")
+    assert out.shape == (b, hw, hw, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    with pytest.raises(ValueError, match="grid"):
+        model.generate_dpm(params, jax.random.PRNGKey(1), cond, vc,
+                           angle, num_steps=4, grid="rho")

@@ -354,3 +354,38 @@ def test_eval_with_dpm_sampler(tiny_run):
                       log_root=str(tmp_path / "logs_bad"))
     with pytest.raises(ValueError, match="unknown tpu.sampler"):
         exp2.train()
+
+
+def test_autoregressive_uses_configured_fast_sampler(tiny_run):
+    """-ar honors tpu.sampler: the 24-chain orbit runs through the fast
+    sampler instead of the ancestral chain (default ddpm keeps exact
+    reference behavior — covered by test_inference_modes)."""
+    tmp_path, config_path, raw = tiny_run
+    cfg = copy.deepcopy(raw)
+    cfg["model"]["max_it"] = 2
+    cfg["model"]["validate_every"] = 0
+    cfg.setdefault("tpu", {})["sampler"] = "ddim"
+    cfg["tpu"]["ddim_steps"] = 4
+    path = str(tmp_path / "ar_fast.yaml")
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+    exp = Experiment(ExperimentArgs(config=path, train=True),
+                     log_root=str(tmp_path / "logs_ar"))
+    exp.train()
+
+    calls = []
+    orig = Experiment._generate_np
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    Experiment._generate_np = spy
+    try:
+        exp.autoregressive()
+    finally:
+        Experiment._generate_np = orig
+    # the fast path must not touch the ancestral frame-capture chain
+    assert not calls
+    out = os.path.join(exp.out_dir, f"autoregressive_animated-{exp.it}.gif")
+    assert os.path.exists(out)

@@ -202,8 +202,10 @@ class TrainConfig:
     native_threads: int = 4
     # Eval-time sampler: "ddpm" = reference-parity full ancestral chain;
     # "ddim" = fast strided sampler (models/view_fusion.py generate_ddim);
-    # "dpm" = DPM-Solver++(2M), second-order ODE solver — DDIM-eta-0
-    # quality in fewer steps (models/view_fusion.py generate_dpm).
+    # "dpm" = DPM-Solver++(2M), second-order ODE solver (deterministic —
+    # same quality class as DDIM eta=0); "dpm_sde" = its SDE variant
+    # (per-step noise injection: self-corrects model error like eta=1
+    # while keeping the second-order update).
     sampler: str = "ddpm"
     ddim_steps: int = 50
     ddim_eta: float = 1.0

@@ -623,13 +623,21 @@ class ViewFusion:
         num_steps: int = 20,
         y_t: Optional[jnp.ndarray] = None,
         packed_idx=None,
+        grid: str = "lambda",
+        sde: bool = False,
     ) -> jnp.ndarray:
-        """DPM-Solver++(2M) (Lu et al. 2022): deterministic second-order
-        multistep solver of the probability-flow ODE in the
-        data-prediction (x0) parameterization — one UNet pass per step,
-        second-order accuracy in the half-log-SNR step, so it reaches
-        DDIM-eta-0 quality in substantially fewer steps (convergence
-        order pinned analytically by tests/test_dpm.py).
+        """DPM-Solver++(2M) (Lu et al. 2022): second-order multistep
+        solver in the data-prediction (x0) parameterization — one UNet
+        pass per step, second-order accuracy in the half-log-SNR step
+        (convergence order pinned analytically by tests/test_dpm.py).
+
+        ``sde=False``: probability-flow ODE (deterministic; equals
+        DDIM-eta-0 quality class).  ``sde=True``: the SDE variant
+        (diffusers' "sde-dpmsolver++"): per-step noise injection with
+        the exponential-integrator coefficients — measured on real
+        (especially undertrained) models the stochastic path
+        self-corrects model error the way DDIM eta=1 does, while
+        keeping the 2M correction.
 
         Same trained model, gammas buffer, x0 clamp, and
         denoise-to-x0 final step as :meth:`generate_ddim`; like DDIM it
@@ -649,10 +657,18 @@ class ViewFusion:
         # it approaches T).
         import numpy as _np
 
-        g_np = _np.asarray(sched.gammas, _np.float64)
-        lam_np = 0.5 * (_np.log(g_np) - _np.log1p(-g_np))
-        targets = _np.linspace(lam_np[-1], lam_np[0], num_steps)
-        idx = _np.abs(lam_np[None, :] - targets[:, None]).argmin(axis=1)
+        if grid == "time":
+            # uniform-in-t grid (the DDIM spacing; diffusers' multistep
+            # default) — kept as an option for schedules whose lambda
+            # ladder is well-conditioned near t=0
+            idx = _np.linspace(0, T - 1, num_steps).round().astype(int)
+        elif grid == "lambda":
+            g_np = _np.asarray(sched.gammas, _np.float64)
+            lam_np = 0.5 * (_np.log(g_np) - _np.log1p(-g_np))
+            targets = _np.linspace(lam_np[-1], lam_np[0], num_steps)
+            idx = _np.abs(lam_np[None, :] - targets[:, None]).argmin(axis=1)
+        else:
+            raise ValueError(f"grid must be 'lambda' or 'time': {grid!r}")
         ts = jnp.asarray(_np.unique(idx)[::-1].copy(), jnp.int32)
         ts_next = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
 
@@ -681,8 +697,9 @@ class ViewFusion:
             return 0.5 * (jnp.log(g) - jnp.log1p(-g))
 
         def step(carry, t_pair):
-            y, x0_prev, h_prev, first = carry
+            y, x0_prev, h_prev, first, key = carry
             t, t_next = t_pair
+            key, sub = jax.random.split(key)
             x0 = x0_pred(y, t)
             g_cur = gammas[t]
             g_next = gammas[jnp.maximum(t_next, 0)]  # guarded by where
@@ -693,15 +710,34 @@ class ViewFusion:
             # still evaluates both branches).
             c = hh / (2.0 * h_prev)
             d = jnp.where(first, x0, (1.0 + c) * x0 - c * x0_prev)
-            y_upd = (
-                jnp.sqrt((1.0 - g_next) / (1.0 - g_cur)) * y
-                - jnp.sqrt(g_next) * jnp.expm1(-hh) * d
-            )
+            sigma_cur = jnp.sqrt(1.0 - g_cur)
+            sigma_next = jnp.sqrt(1.0 - g_next)
+            alpha_next = jnp.sqrt(g_next)
+            if sde:
+                # exponential integrator of the reverse SDE with x0
+                # held piecewise-constant: exact conditional Gaussian
+                # per step given a perfect x0 (h -> inf recovers
+                # alpha*x0 + sigma*z, h -> 0 recovers y)
+                decay = jnp.exp(-hh)
+                mix = -jnp.expm1(-2.0 * hh)  # 1 - e^{-2h}
+                z = jax.random.normal(sub, y.shape, y.dtype)
+                y_upd = (
+                    (sigma_next / sigma_cur) * decay * y
+                    + alpha_next * mix * d
+                    + sigma_next * jnp.sqrt(mix) * z
+                )
+            else:
+                y_upd = (
+                    (sigma_next / sigma_cur) * y
+                    - alpha_next * jnp.expm1(-hh) * d
+                )
             # final step (t_next == -1): jump to the clean prediction,
             # the gamma_prev = 1 limit — same convention as generate_ddim
             y_next = jnp.where(t_next >= 0, y_upd, x0)
-            return (y_next, x0, hh, jnp.zeros((), bool)), None
+            return (y_next, x0, hh, jnp.zeros((), bool), key), None
 
-        init = (y_t, jnp.zeros_like(y_t), jnp.ones(()), jnp.ones((), bool))
-        (y_t, _, _, _), _ = jax.lax.scan(step, init, (ts, ts_next))
+        k_scan = jax.random.fold_in(rng, 1)
+        init = (y_t, jnp.zeros_like(y_t), jnp.ones(()),
+                jnp.ones((), bool), k_scan)
+        (y_t, _, _, _, _), _ = jax.lax.scan(step, init, (ts, ts_next))
         return y_t

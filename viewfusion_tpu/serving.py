@@ -33,6 +33,7 @@ import queue
 import threading
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
 
@@ -121,6 +122,10 @@ class ViewFusionService:
         self._dpm = jax.jit(
             self.model.generate_dpm, static_argnames=("num_steps",)
         )
+        self._dpm_sde = jax.jit(
+            partial(self.model.generate_dpm, sde=True),
+            static_argnames=("num_steps",),
+        )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._counter = 0
         self.warmed_steps: List[int] = []
@@ -161,8 +166,11 @@ class ViewFusionService:
             return self._ddim
         if sampler == "dpm":
             return self._dpm
+        if sampler == "dpm_sde":
+            return self._dpm_sde
         raise ClientError(
-            f'sampler must be "ddim" or "dpm", got {sampler!r}'
+            f'sampler must be "ddim", "dpm", or "dpm_sde", '
+            f'got {sampler!r}'
         )
 
     # ------------------------------------------------------------------
@@ -194,7 +202,7 @@ class ViewFusionService:
                 f"steps must be in [1, {self.max_steps}], got {steps}"
             )
         self._sampler_fn(sampler)  # validate early -> HTTP 400
-        if sampler == "dpm" and steps < 2:
+        if sampler in ("dpm", "dpm_sde") and steps < 2:
             raise ClientError("dpm requires steps >= 2")
         try:
             angle = float(angle)
