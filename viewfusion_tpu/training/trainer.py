@@ -904,6 +904,11 @@ class Experiment:
         "dpm_sde" make the 24-chain autoregressive orbit 40-100x
         cheaper."""
         s = self.config.train.sampler
+        if s not in ("ddpm", "ddim", "dpm", "dpm_sde"):
+            raise ValueError(
+                f"unknown tpu.sampler {s!r}; options: ddpm (reference "
+                "ancestral), ddim, dpm, dpm_sde"
+            )
         if s == "ddpm":
             return np.asarray(
                 self._generate_np(cond, view_count, angle,
