@@ -212,9 +212,9 @@ def main():
     # donate params/opt_state like the trainer's step does
     # (training/trainer.py donate_argnums) — XLA updates them in place
     # instead of allocating + copying 3x34M floats per step.
-    def norm(x):  # trainer's _norm_img: u8 -> f32 in [0, 1] on device
-        return (x.astype(jnp.float32) / np.float32(255.0)
-                if x.dtype == jnp.uint8 else x)
+    # the trainer's own on-device normalization — import, don't copy,
+    # so the benchmark always measures the program the trainer ships
+    from viewfusion_tpu.training.trainer import _norm_img as norm
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, key, y0, cond, view_count, angle):
@@ -453,6 +453,8 @@ def bench_data_fed(train_step, params, opt_state, key, cfg, synth_sps):
         import threading as _t
 
         dq: "_q.Queue" = _q.Queue(maxsize=2)
+        stop_flag = {"stop": False}
+        sentinel = object()
 
         def to_dev(batch):
             # only the numeric keys the step consumes (batches also
@@ -463,7 +465,10 @@ def bench_data_fed(train_step, params, opt_state, key, cfg, synth_sps):
         def feeder(it=host_iter, dq=dq):
             try:
                 for hb in it:
+                    if stop_flag["stop"]:
+                        break
                     dq.put(to_dev(hb))
+                dq.put(sentinel)
             except BaseException as e:  # noqa: BLE001
                 dq.put(e)
 
@@ -471,6 +476,8 @@ def bench_data_fed(train_step, params, opt_state, key, cfg, synth_sps):
 
         def next_dev():
             item = dq.get()
+            if item is sentinel:
+                raise RuntimeError("data stream ended mid-benchmark")
             if isinstance(item, BaseException):
                 raise item
             return item
@@ -487,6 +494,19 @@ def bench_data_fed(train_step, params, opt_state, key, cfg, synth_sps):
                                                 next_dev(), key)
         jax.block_until_ready(loss)
         rates[fmt] = iters / (time.perf_counter() - t0)
+        # Stop THIS format's feeder before the next format is timed:
+        # a still-running tar feeder would keep decoding and issuing
+        # H2D transfers into the raw measurement (and pin 2 device
+        # batches of HBM).  Draining unblocks its put(); it then sees
+        # the flag and exits via the sentinel.
+        stop_flag["stop"] = True
+        try:
+            while True:
+                item = dq.get(timeout=2.0)
+                if item is sentinel or isinstance(item, BaseException):
+                    break
+        except _q.Empty:
+            pass
         decode_note = (f"{b * 24} PNG decodes/step" if fmt == "tar"
                        else "0 decodes/step (mmap)")
         log(f"data-fed[{fmt}]: {rates[fmt]:.3f} steps/s "

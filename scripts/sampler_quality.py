@@ -20,7 +20,6 @@ Usage:
 """
 
 import argparse
-import copy
 import json
 import os
 import shutil
@@ -51,8 +50,14 @@ def run_eval(src_run, workdir, sampler, steps, test_size):
     """Copy the run dir, patch sampler config, run `-e`, parse metrics."""
     run = os.path.join(workdir, f"{sampler}-{steps}")
     row_cache = os.path.join(run, "row.json")
+    cache_key = {"src_run": os.path.abspath(src_run),
+                 "test_size": test_size}
     if os.path.exists(row_cache):
-        return json.load(open(row_cache))
+        cached = json.load(open(row_cache))
+        # rows cached for a DIFFERENT checkpoint or test size must not
+        # leak into this artifact
+        if all(cached.get(k) == v for k, v in cache_key.items()):
+            return cached
     os.makedirs(run, exist_ok=True)
     for f in ("config.yaml", "best_model_all.msgpack", "model.msgpack"):
         src = os.path.join(src_run, f)
@@ -91,11 +96,17 @@ def run_eval(src_run, workdir, sampler, steps, test_size):
             d = json.loads(line)
             if "psnr" in d:
                 rec = d
+    if "psnr" not in rec:
+        raise RuntimeError(
+            f"{sampler}-{steps}: eval exited 0 but wrote no psnr record "
+            f"to {metrics}"
+        )
     row = {
         "sampler": sampler, "steps": steps,
         "psnr": round(float(rec["psnr"]), 3),
         "ssim": round(float(rec["ssim"]), 4),
         "wall_s_incl_compile": round(wall, 1),
+        **cache_key,
     }
     with open(row_cache, "w") as f:
         json.dump(row, f)
@@ -118,8 +129,6 @@ def main():
         print(row, flush=True)
         rows.append(row)
 
-    import numpy as np  # platform check only after runs
-
     out = {
         "what": ("eval PSNR/SSIM per (sampler, steps) on one trained "
                  "checkpoint through the production eval path; "
@@ -131,7 +140,6 @@ def main():
                  "matched checkpoint is the measurement"),
         "rows": rows,
     }
-    _ = np
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {args.out}")

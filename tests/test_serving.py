@@ -190,7 +190,7 @@ def test_warmup_buckets_and_mixed_steps(service):
     step-count traffic completes concurrently — a second bucket rides
     its own program instead of blocking the first bucket's batches."""
     service.warmup([4, 6])
-    assert service.warmed_steps[-2:] == [4, 6]
+    assert service.warmed_steps[-2:] == [(4, "ddim"), (6, "ddim")]
     with pytest.raises(ValueError, match="warmup steps"):
         service.warmup([0])
 

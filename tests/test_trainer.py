@@ -350,10 +350,11 @@ def test_eval_with_dpm_sampler(tiny_run):
     bad = str(tmp_path / "bad_sampler.yaml")
     with open(bad, "w") as f:
         yaml.dump(cfg, f)
-    exp2 = Experiment(ExperimentArgs(config=bad, train=True),
-                      log_root=str(tmp_path / "logs_bad"))
+    # a typo'd sampler fails at CONFIG LOAD, not hours into training
+    # at the first validation gate (TrainConfig.__post_init__)
     with pytest.raises(ValueError, match="unknown tpu.sampler"):
-        exp2.train()
+        Experiment(ExperimentArgs(config=bad, train=True),
+                   log_root=str(tmp_path / "logs_bad"))
 
 
 def test_autoregressive_uses_configured_fast_sampler(tiny_run):

@@ -210,6 +210,13 @@ class TrainConfig:
     ddim_steps: int = 50
     ddim_eta: float = 1.0
     dpm_steps: int = 20
+
+    def __post_init__(self):
+        if self.sampler not in ("ddpm", "ddim", "dpm", "dpm_sde"):
+            raise ValueError(
+                f"unknown tpu.sampler {self.sampler!r}; options: ddpm "
+                "(reference ancestral), ddim, dpm, dpm_sde"
+            )
     # Exponential moving average of params (standard diffusion practice;
     # the reference has none). 0 = off; typical 0.9999. Eval/inference
     # use the EMA weights when enabled.

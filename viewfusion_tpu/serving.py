@@ -128,7 +128,8 @@ class ViewFusionService:
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._counter = 0
-        self.warmed_steps: List[int] = []
+        # (steps, sampler) buckets precompiled by warmup()
+        self.warmed_steps: List[tuple] = []
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -159,7 +160,7 @@ class ViewFusionService:
                 num_steps=steps,
             )
             self._jax.block_until_ready(out)
-            self.warmed_steps.append(steps)
+            self.warmed_steps.append((steps, sampler))
 
     def _sampler_fn(self, sampler: str):
         if sampler == "ddim":
@@ -387,15 +388,18 @@ def make_server(service: ViewFusionService, host: str = "0.0.0.0",
 def serve(run_dir: str, host: str = "0.0.0.0", port: int = 8000,
           batch_size: int = 8, default_steps: int = 50,
           max_views: Optional[int] = None, warmup: bool = True,
-          warmup_steps: Optional[List[int]] = None) -> None:
+          warmup_steps: Optional[List[int]] = None,
+          warmup_samplers: Optional[List[str]] = None) -> None:
     service = ViewFusionService(run_dir, batch_size=batch_size,
                                 default_steps=default_steps,
                                 max_views=max_views)
     if warmup:
         buckets = warmup_steps or [default_steps]
-        print(f"warming up (compiling step buckets {buckets})...",
-              flush=True)
-        service.warmup(buckets)
+        samplers = warmup_samplers or ["ddim"]
+        print(f"warming up (compiling step buckets {buckets} x "
+              f"{samplers})...", flush=True)
+        for s in samplers:
+            service.warmup(buckets, sampler=s)
     httpd = make_server(service, host, port)
     print(f"serving {run_dir} on {host}:{httpd.server_address[1]}")
     httpd.serve_forever()
@@ -415,15 +419,20 @@ def main(argv=None) -> None:
                    help="comma-separated step buckets to precompile at "
                         "startup (e.g. 50,250); default: the --steps "
                         "bucket only")
+    p.add_argument("--warmup-samplers", default="ddim",
+                   help="comma-separated sampler families to precompile "
+                        "(ddim,dpm,dpm_sde); a request for an unwarmed "
+                        "family pays a mid-traffic compile")
     args = p.parse_args(argv)
     buckets = None
     if args.warmup_steps:
         buckets = [int(s) for s in args.warmup_steps.split(",") if s]
         if args.steps not in buckets:
             buckets.insert(0, args.steps)
+    samplers = [s for s in args.warmup_samplers.split(",") if s]
     serve(args.src, args.host, args.port, args.batch_size, args.steps,
           args.max_views, warmup=not args.no_warmup,
-          warmup_steps=buckets)
+          warmup_steps=buckets, warmup_samplers=samplers)
 
 
 if __name__ == "__main__":

@@ -342,11 +342,7 @@ class Experiment:
                 self._infer_params, key, cond, vc, angle,
                 packed_idx=packed_idx,
             )
-        if self.config.train.sampler != "ddpm":
-            raise ValueError(
-                f"unknown tpu.sampler {self.config.train.sampler!r}; "
-                "options: ddpm (reference ancestral), ddim, dpm, dpm_sde"
-            )
+        # sampler name validated at config load (TrainConfig.__post_init__)
         out = self._jit_generate(
             self._infer_params, key, cond, vc, angle,
             packed_idx=packed_idx, capture_aux=False,
@@ -877,13 +873,22 @@ class Experiment:
         target = batch["target"]
         return target, cond, angle
 
-    def _generate_np(self, cond, view_count, angle, key_salt=0):
+    def _gen_inputs(self, cond, view_count, angle, key_salt):
+        """Shared generation prologue: the (seed+23, salt) key scheme
+        and input conversion must stay identical across the ancestral
+        and fast-sampler paths so the same salt reproduces the same
+        chain inputs."""
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.config.train.seed + 23), key_salt
         )
-        cond = _norm_img(jnp.asarray(cond))
-        view_count = jnp.asarray(view_count, jnp.int32)
-        angle = jnp.asarray(angle, jnp.float32)
+        return (key, _norm_img(jnp.asarray(cond)),
+                jnp.asarray(view_count, jnp.int32),
+                jnp.asarray(angle, jnp.float32))
+
+    def _generate_np(self, cond, view_count, angle, key_salt=0):
+        key, cond, view_count, angle = self._gen_inputs(
+            cond, view_count, angle, key_salt
+        )
         segs = self.config.train.chain_segments
         if segs > 1:
             out = self._generate_segmented(key, cond, view_count, angle,
@@ -903,23 +908,15 @@ class Experiment:
         default ("ddpm") keeps exact reference behavior; "ddim"/"dpm"/
         "dpm_sde" make the 24-chain autoregressive orbit 40-100x
         cheaper."""
-        s = self.config.train.sampler
-        if s not in ("ddpm", "ddim", "dpm", "dpm_sde"):
-            raise ValueError(
-                f"unknown tpu.sampler {s!r}; options: ddpm (reference "
-                "ancestral), ddim, dpm, dpm_sde"
-            )
+        s = self.config.train.sampler  # validated at config load
         if s == "ddpm":
             return np.asarray(
                 self._generate_np(cond, view_count, angle,
                                   key_salt=key_salt).generated_samples
             )
-        key = jax.random.fold_in(
-            jax.random.PRNGKey(self.config.train.seed + 23), key_salt
+        key, cond, view_count, angle = self._gen_inputs(
+            cond, view_count, angle, key_salt
         )
-        cond = _norm_img(jnp.asarray(cond))
-        view_count = jnp.asarray(view_count, jnp.int32)
-        angle = jnp.asarray(angle, jnp.float32)
         fn = (self._jit_generate_ddim if s == "ddim"
               else self._jit_generate_dpm)
         return np.asarray(fn(self._infer_params, key, cond, view_count,
