@@ -157,13 +157,32 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from viewfusion_tpu.cli import _honor_platform_env
     from viewfusion_tpu.utils.cache import enable_compilation_cache
 
+    # a sitecustomize-pinned platform otherwise overrides the user's
+    # JAX_PLATFORMS=cpu for tiny-mode smoke runs (same as the CLI)
+    _honor_platform_env()
     enable_compilation_cache()
 
     from viewfusion_tpu.config import Config
     from viewfusion_tpu.models.view_fusion import ViewFusion
     from viewfusion_tpu.training.schedulers import lr_schedule
+
+    # VF_BENCH_TINY=1: shrink the model/batch so the WHOLE bench script
+    # (incl. the data-fed feeder machinery) smoke-runs on CPU in ~2 min.
+    # Numbers from tiny mode are meaningless; it exists so a bench-code
+    # regression is caught before the next real TPU run.
+    if os.environ.get("VF_BENCH_TINY") == "1":
+        m = FLAGSHIP["model"]
+        m["denoise_net_params"].update(
+            image_size=16, inner_channel=8, res_blocks=1,
+            channel_mults=[1, 2], attn_res=[8], norm_groups=4,
+        )
+        for ph in m["view_fusion_params"]["beta_schedule"].values():
+            ph["num_timesteps"] = 8
+        FLAGSHIP["data"]["params"].update(batch_size=4, max_views=3)
+        FLAGSHIP["tpu"]["compute_dtype"] = "float32"
 
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
