@@ -278,3 +278,31 @@ def test_device_feed_salt_alignment(tmp_path):
         assert salts[:3] == [5, 6, 7], salts[:5]
     finally:
         Experiment._global_packed_counts = orig
+
+
+def test_packed_loss_equals_dense_relative_mode(tiny_config, rng):
+    """Packed gather is channel-count agnostic: the relative variant
+    (6-channel cond -> in_channel 9, reference
+    configs/relative-small-v100-4.yaml:22) must match dense too."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_config, unet=dataclasses.replace(tiny_config.unet,
+                                              in_channel=9),
+    )
+    model = ViewFusion.from_config(cfg)
+    b, n, hw = 4, 3, 8
+    y0 = jnp.asarray(rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32))
+    cond = jnp.asarray(
+        rng.uniform(0, 1, (b, n, hw, hw, 6)).astype(np.float32)
+    )
+    vc = np.array([2, 3, 1, 3])
+    angle = jnp.asarray(rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), cond, y0)
+    key = jax.random.PRNGKey(11)
+
+    dense = model.loss(params, key, y0, cond, jnp.asarray(vc), angle)
+    si, vi = _packed_indices(vc)
+    packed = model.loss_packed(params, key, y0, cond, jnp.asarray(vc),
+                               angle, jnp.asarray(si), jnp.asarray(vi))
+    np.testing.assert_allclose(float(dense), float(packed), rtol=1e-5)
