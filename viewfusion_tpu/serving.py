@@ -10,10 +10,11 @@ no extra deps):
     batches — one batch per (steps, sampler) bucket — so the TPU sees a
     static shape per bucket and never recompiles per request;
   * sampling uses the DDIM fast path by default (92 views/s on a v5e at
-    50 steps); "sampler": "dpm" selects DPM-Solver++(2M) (second-order
-    ODE solver — comparable quality at fewer steps); timed-out/abandoned
-    requests are skipped, client input errors map to 400s, and body
-    size / step counts are bounded.
+    50 steps); "sampler": "dpm_sde" selects DPM-Solver++(2M) SDE (best
+    measured quality per step, SAMPLER_QUALITY_r03.json) and "dpm" its
+    deterministic ODE form; timed-out/abandoned requests are skipped,
+    client input errors map to 400s, and body size / step counts are
+    bounded.
 
 Usage:
     python -m viewfusion_tpu.serving -s logs/<run-dir> --port 8000
