@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--concurrency", default="4,16")
+    ap.add_argument("--sampler", default="ddim",
+                    choices=["ddim", "dpm", "dpm_sde"])
+    ap.add_argument("--steps", type=int, default=50)
     args = ap.parse_args()
 
     from PIL import Image
@@ -40,8 +43,8 @@ def main():
 
     t0 = time.perf_counter()
     service = ViewFusionService(args.run_dir, batch_size=8,
-                                max_wait_ms=30, default_steps=50)
-    service.warmup([50])
+                                max_wait_ms=30, default_steps=args.steps)
+    service.warmup([args.steps], sampler=args.sampler)
     warm_s = time.perf_counter() - t0
     print(f"service up (load+compile/cache): {warm_s:.1f}s")
 
@@ -72,6 +75,8 @@ def main():
                 body = json.dumps({
                     "views": pngs[: 1 + (i % 3)],
                     "angle": 0.3 * i,
+                    "sampler": args.sampler,
+                    "steps": args.steps,
                 }).encode()
                 t0 = time.perf_counter()
                 try:
@@ -115,8 +120,9 @@ def main():
 
     section = {
         "what": ("real HTTP clients against the production server on "
-                 "the chip: flagship model, DDIM-50, batch 8, "
-                 "PNG-decode + base64 + HTTP included"),
+                 f"the chip: flagship model, {args.sampler}-"
+                 f"{args.steps}, batch 8, PNG-decode + base64 + HTTP "
+                 "included"),
         "device": jax.devices()[0].device_kind,
         "startup_seconds": round(warm_s, 1),
         "duration_per_level_s": args.seconds,
