@@ -193,7 +193,9 @@ def main():
     n = cfg.data.max_views
     hw = cfg.unet.image_size
 
-    from viewfusion_tpu.training.trainer import stratified_count_multiset
+    from viewfusion_tpu.training.trainer import (
+        Experiment, stratified_count_multiset,
+    )
 
     rng = np.random.default_rng(0)
     # uint8 image batches, normalized INSIDE the jitted step — the
@@ -206,12 +208,8 @@ def main():
     counts = stratified_count_multiset(b, n)
     np.random.default_rng(1).shuffle(counts)
     view_count = jnp.asarray(counts.astype(np.int32))
-    sample_idx = jnp.asarray(
-        np.repeat(np.arange(b), counts).astype(np.int32)
-    )
-    view_idx = jnp.asarray(
-        np.concatenate([np.arange(v) for v in counts]).astype(np.int32)
-    )
+    si, vi = Experiment._packed_indices(counts)  # the trainer's own layout
+    sample_idx, view_idx = jnp.asarray(si), jnp.asarray(vi)
     angle = jnp.asarray(
         rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32)
     )
@@ -356,7 +354,9 @@ def bench_one_batch(model, cfg, tx, b, peak):
     import jax.numpy as jnp
     import optax
 
-    from viewfusion_tpu.training.trainer import stratified_count_multiset
+    from viewfusion_tpu.training.trainer import (
+        Experiment, stratified_count_multiset,
+    )
 
     n = cfg.data.max_views
     hw = cfg.unet.image_size
@@ -368,10 +368,8 @@ def bench_one_batch(model, cfg, tx, b, peak):
     counts = stratified_count_multiset(b, n)
     np.random.default_rng(1).shuffle(counts)
     view_count = jnp.asarray(counts.astype(np.int32))
-    sample_idx = jnp.asarray(np.repeat(np.arange(b), counts).astype(np.int32))
-    view_idx = jnp.asarray(
-        np.concatenate([np.arange(v) for v in counts]).astype(np.int32)
-    )
+    si, vi = Experiment._packed_indices(counts)
+    sample_idx, view_idx = jnp.asarray(si), jnp.asarray(vi)
     angle = jnp.asarray(rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32))
     rows = int(counts.sum())
 

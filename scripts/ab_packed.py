@@ -168,8 +168,8 @@ def main():
                               keys=["target", "cond", "angle"])))
     batch["angle"] = np.asarray(batch["angle"]).reshape(-1)
     counts = stratified_count_multiset(16, 6).astype(np.int32)
-    si = np.repeat(np.arange(16), counts).astype(np.int32)
-    vi = np.concatenate([np.arange(v) for v in counts]).astype(np.int32)
+    from viewfusion_tpu.training.trainer import Experiment
+    si, vi = Experiment._packed_indices(counts)
 
     for name, arm in arms.items():
         psnr, ssim = fixed_eval(arm["run_dir"], batch, counts, si, vi)

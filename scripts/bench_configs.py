@@ -76,10 +76,9 @@ def bench_family(name, denoise_net, dn_params, max_views, batch):
     counts = stratified_count_multiset(batch, max_views)
     np.random.default_rng(1).shuffle(counts)
     vc = jnp.asarray(counts.astype(np.int32))
-    si = jnp.asarray(np.repeat(np.arange(batch), counts).astype(np.int32))
-    vi = jnp.asarray(
-        np.concatenate([np.arange(v) for v in counts]).astype(np.int32)
-    )
+    from viewfusion_tpu.training.trainer import Experiment
+    si_, vi_ = Experiment._packed_indices(counts)
+    si, vi = jnp.asarray(si_), jnp.asarray(vi_)
     angle = jnp.asarray(
         rng.uniform(0, 2 * np.pi, (batch,)).astype(np.float32)
     )

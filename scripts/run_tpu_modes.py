@@ -42,8 +42,22 @@ def main():
     ap.add_argument("run_dir")
     ap.add_argument("--out", default=None)
     ap.add_argument("--segments", type=int, default=8)
+    ap.add_argument("--workdir", default="/tmp/vf_run_modes",
+                    help="the SOURCE run dir is copied here and never "
+                         "mutated (config patches + best-seeding happen "
+                         "on the copy)")
     args = ap.parse_args()
-    run = os.path.abspath(args.run_dir)
+    src = os.path.abspath(args.run_dir)
+
+    # Work on a copy: patching config.yaml / seeding best_model in the
+    # real run dir would silently change later resumes and evals.
+    run = os.path.join(args.workdir, os.path.basename(src.rstrip("/")))
+    os.makedirs(run, exist_ok=True)
+    for f in ("config.yaml", "model.msgpack", "best_model_all.msgpack",
+              "best_model_ssim.msgpack", "best_model_psnr.msgpack"):
+        p = os.path.join(src, f)
+        if os.path.exists(p):
+            shutil.copy(p, run)
 
     cfg_path = os.path.join(run, "config.yaml")
     with open(cfg_path) as f:

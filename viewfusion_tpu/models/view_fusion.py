@@ -495,6 +495,9 @@ class ViewFusion:
         """
         sched = self.schedule
         T = sched.num_timesteps
+        # same validation as generate(): T <= sample_num would divide
+        # by zero (or silently diverge from the unsegmented path)
+        assert T > sample_num, "num_timesteps must be greater than sample_num"
         sample_inter = T // sample_num
         n_frames = (T - 1) // sample_inter + 1
         b, n, h, w, _ = y_cond.shape

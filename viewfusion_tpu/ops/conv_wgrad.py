@@ -62,21 +62,19 @@ def _wgrad_kernel(x_ref, g_ref, dw_ref, acc_ref):
     zx = jnp.zeros((1, w, cin), x.dtype)
     zg = jnp.zeros((h, 1, cout), g.dtype)
 
-    # x shifted along H by (di-1): row di of the tap grid
+    # Row-tap blocks: block k holds x[i + (1-k)] (k=0 -> x[i+1],
+    # k=1 -> x[i], k=2 -> x[i-1]).  The authoritative (di, dj) mapping
+    # lives at the final reshape in conv3x3_wgrad (block k = tap row
+    # 2-k there); both are pinned against jax.grad of lax.conv in
+    # tests/test_conv_wgrad.py.
     xs = jnp.concatenate(
         [
-            jnp.concatenate([x[1:], zx], axis=0),      # di=0 -> x[i-1+0]? see below
-            x,                                         # di=1 (center)
-            jnp.concatenate([zx, x[:-1]], axis=0),     # di=2
+            jnp.concatenate([x[1:], zx], axis=0),      # block 0: x[i+1]
+            x,                                         # block 1: x[i]
+            jnp.concatenate([zx, x[:-1]], axis=0),     # block 2: x[i-1]
         ],
         axis=-1,
     )
-    # Tap convention: y[i,j] = sum_{di,dj in 0..2} w[di,dj] x[i+di-1, j+dj-1]
-    # => dW[di] needs x[i + (di-1)]: di=0 -> x shifted UP by 1 (x[i-1])
-    # is x rolled down... verified against jax.grad in tests; the
-    # ordering above maps block k to tap row k with:
-    #   block 0 = x[i+1] ... corresponds to di=2?  The final reshape in
-    # conv3x3_wgrad fixes the (di, dj) order once, pinned by tests.
     gs = jnp.concatenate(
         [
             jnp.concatenate([g[:, 1:], zg], axis=1),   # dj block 0
@@ -106,6 +104,14 @@ def conv3x3_wgrad(x: jnp.ndarray, g: jnp.ndarray,
     """
     b, h, w, cin = x.shape
     cout = g.shape[3]
+    if pltpu is None:
+        # the kernel needs the VMEM scratch accumulator either way —
+        # fail clearly instead of a missing-positional TypeError from
+        # pallas_call with an empty scratch_shapes list
+        raise RuntimeError(
+            "conv3x3_wgrad requires jax.experimental.pallas.tpu "
+            "(unavailable in this jax build); use the XLA wgrad path"
+        )
     params = None
     if pltpu is not None:
         cp = getattr(pltpu, "CompilerParams", None) or getattr(

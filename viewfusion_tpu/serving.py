@@ -395,7 +395,12 @@ def serve(run_dir: str, host: str = "0.0.0.0", port: int = 8000,
                                 default_steps=default_steps,
                                 max_views=max_views)
     if warmup:
-        buckets = warmup_steps or [default_steps]
+        # the default bucket is ALWAYS warmed — "warmup_steps" lists
+        # ADDITIONAL buckets (a request without an explicit steps field
+        # must never pay a mid-traffic compile)
+        buckets = list(warmup_steps or [])
+        if default_steps not in buckets:
+            buckets.insert(0, default_steps)
         samplers = warmup_samplers or ["ddim"]
         print(f"warming up (compiling step buckets {buckets} x "
               f"{samplers})...", flush=True)
