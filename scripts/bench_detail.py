@@ -23,36 +23,11 @@ def log(msg):
 
 
 def timeit_chained(op, q, k, v):
-    """Per-call time of ``op(q, k, v) -> same-shape-as-q`` via the
-    marginal slope of two scan chain lengths, with the result FETCHED —
-    on the tunneled runtime, block_until_ready alone returns early and
-    independent dispatches measure absurd >peak rates (see
-    scripts/bench_stage_convs.py)."""
-    import jax
-    import jax.numpy as jnp
+    """Per-call seconds of ``op(q, k, v)`` — shared fetch-forced
+    marginal-slope harness (viewfusion_tpu/utils/timing.py)."""
+    from viewfusion_tpu.utils.timing import chained_op_seconds
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("K",))
-    def chain(q0, k_, v_, K):
-        def body(carry, _):
-            q = op(jax.nn.relu(q0 + carry.astype(q0.dtype)), k_, v_)
-            return jnp.float32(jnp.mean(q)) * 1e-6, None
-
-        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
-        return out
-
-    def timed(K):
-        float(chain(q, k, v, K))  # warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(chain(q, k, v, K))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    K1, K2 = 16, 80
-    return (timed(K2) - timed(K1)) / (K2 - K1)
+    return chained_op_seconds(op, q, k, v)
 
 
 def main():

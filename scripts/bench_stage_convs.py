@@ -91,37 +91,11 @@ def main():
                 preferred_element_type=jnp.float32,
             )
 
-        # Chain iterations through a NONLINEAR data dependency so the
-        # device MUST execute all K convs back-to-back: a linear chain
-        # (conv(x0*s) == s*conv(x0)) gets hoisted out of the loop by
-        # XLA's algebraic simplifier, and independent same-input
-        # dispatches do not reliably serialize on the tunneled runtime.
-        # relu(x0 + c) cannot be hoisted (the mask depends on c); its
-        # VPU cost is <0.1% of the conv.  The result is FETCHED
-        # (float()) — block_until_ready alone returns early on the
-        # axon tunnel.
-        from functools import partial as _partial
+        # Shared fetch-forced marginal-slope harness (rationale in
+        # viewfusion_tpu/utils/timing.py)
+        from viewfusion_tpu.utils.timing import chained_op_seconds
 
-        @_partial(jax.jit, static_argnames=("K",))
-        def bench_fn(x0, wgt, K):
-            def body(carry, _):
-                x = jax.nn.relu(x0 + carry.astype(jnp.bfloat16))
-                y = conv_op(x, wgt)
-                return jnp.float32(jnp.mean(y)) * 1e-6, None
-
-            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
-            return out
-
-        def timed(K):
-            float(bench_fn(x0, wgt, K))  # warm
-            best_t = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(bench_fn(x0, wgt, K))
-                best_t = min(best_t, time.perf_counter() - t0)
-            return best_t
-
-        best = (timed(K2) - timed(K1)) / (K2 - K1)
+        best = chained_op_seconds(conv_op, x0, wgt, K1=K1, K2=K2)
         flops = 2.0 * k * k * cin * cout * h * w * R
         out_size = R * h * w * cout
         byts = 2.0 * (x0.size + out_size) + 2.0 * wgt.size
