@@ -367,9 +367,14 @@ def _dispatch(use_pallas):
     step-time deltas that set the default)."""
     import os
 
-    if use_pallas == "hybrid":
+    def hybrid(cpu_fallback="hybrid-interpret"):
+        # the Pallas analytic backward needs real TPU; off-TPU callers
+        # get the interpreted kernel (tests) or flax (the default path)
         return ("hybrid" if jax.default_backend() == "tpu"
-                else "hybrid-interpret")
+                else cpu_fallback)
+
+    if use_pallas == "hybrid":
+        return hybrid()
     if use_pallas is None:
         env = os.environ.get("VF_GN_PALLAS")
         if env is not None:
@@ -378,8 +383,7 @@ def _dispatch(use_pallas):
             impl = os.environ.get("VF_GN_IMPL")
             if impl in ("pallas", "dot", "flax", "hybrid"):
                 if impl == "hybrid":
-                    return ("hybrid" if jax.default_backend() == "tpu"
-                            else "hybrid-interpret")
+                    return hybrid()
                 if impl != "pallas":
                     return impl
                 use_pallas = True
@@ -396,8 +400,7 @@ def _dispatch(use_pallas):
                 # flax (the Pallas bwd would run interpreted).  All
                 # variants stay selectable via VF_GN_IMPL=
                 # flax|dot|pallas|hybrid and tested.
-                return ("hybrid" if jax.default_backend() == "tpu"
-                        else "flax")
+                return hybrid(cpu_fallback="flax")
     if use_pallas and jax.default_backend() != "tpu":
         return "pallas-interpret"  # kernel-math validation on CPU
     return "pallas" if use_pallas else "flax"
