@@ -152,7 +152,47 @@ def unet_flops_per_row(cfg) -> float:
     return total
 
 
+def wait_for_chip(budget_s: float) -> None:
+    """Block until a subprocess can initialize the TPU backend, up to
+    ``budget_s`` seconds.
+
+    The tunneled chip has a known failure mode where a killed client
+    leaves ``jax.devices()`` hanging for minutes; probing in a throwaway
+    subprocess (bounded by a timeout) keeps THIS process's JAX backend
+    state clean — a failed in-process init would be cached for the rest
+    of the run.  Skipped entirely when the user pinned a non-TPU
+    platform (JAX_PLATFORMS=cpu smoke runs)."""
+    import subprocess
+
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "tpu" not in plat:
+        return
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=90, capture_output=True,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            if attempt > 1:
+                log(f"chip back after {attempt} probes")
+            return
+        if time.monotonic() >= deadline:
+            log(f"chip probe still failing after {attempt} attempts; "
+                f"proceeding (jax will raise if it is really gone)")
+            return
+        log(f"chip probe {attempt} failed (rc={rc}); retrying in 120s")
+        time.sleep(120)
+
+
 def main():
+    wait_for_chip(float(os.environ.get("VF_BENCH_WAIT_CHIP_S", "1800")))
+
     import jax
     import jax.numpy as jnp
     import optax
