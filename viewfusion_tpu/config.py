@@ -266,6 +266,13 @@ class TrainConfig:
     # from host normalization by ~1 ulp (pinned at rtol 2e-6 by
     # tests/test_trainer.py::test_u8_feed_matches_float_feed).
     u8_feed: bool = True
+    # Fuse each train batch into 3 device puts instead of 6
+    # (training/fused_feed.py): one batch-major image buffer
+    # (target+cond) + two packed int32 metadata arrays.  Wins when the
+    # runtime's per-put fixed cost dominates (tunneled links —
+    # scripts/probe_h2d.py measures it); numerics identical to the
+    # split feed.  Requires packed_views; absolute conditioning only.
+    fused_feed: bool = False
 
 
 @dataclass(frozen=True)

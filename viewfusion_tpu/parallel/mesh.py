@@ -87,6 +87,13 @@ _BATCH_SPECS: Dict[str, P] = {
     # packed-row index vectors gather across samples; replicate them
     "sample_idx": P(),
     "view_idx": P(),
+    # fused feed (training/fused_feed.py): img carries target+cond in
+    # one batch-major buffer (view axis unsharded — slot 0 is the
+    # target, so 1+N does not tile the view mesh); meta_r replicates
+    # the packed-row indices
+    "img": P(DATA_AXIS),
+    "meta_b": P(DATA_AXIS),
+    "meta_r": P(),
 }
 
 

@@ -46,6 +46,7 @@ from viewfusion_tpu.parallel.mesh import (
     make_mesh,
     replicate,
 )
+from viewfusion_tpu.training import fused_feed
 from viewfusion_tpu.training.checkpoint import Checkpoint
 from viewfusion_tpu.training.logging import MetricLogger
 from viewfusion_tpu.training.schedulers import lr_schedule
@@ -151,6 +152,14 @@ class Experiment:
         self.relative = cfg.relative
         self.cond_key = "relative_cond" if self.relative else "cond"
         self.angle_key = "relative_angle" if self.relative else "angle"
+
+        if cfg.train.fused_feed and (
+            not cfg.train.packed_views or self.relative
+        ):
+            raise ValueError(
+                "tpu.fused_feed requires tpu.packed_views and absolute "
+                "conditioning (training/fused_feed.py)"
+            )
 
 
         self._init_model()
@@ -350,6 +359,8 @@ class Experiment:
         return out.generated_samples
 
     def _train_step_impl(self, state: TrainState, batch, rng):
+        if "img" in batch:  # fused feed: slices + same-size bitcasts
+            batch = fused_feed.unpack_batch(batch)
         target = _norm_img(batch["target"])
         cond = _norm_img(batch[self.cond_key])
 
@@ -477,7 +488,7 @@ class Experiment:
     # ------------------------------------------------------------------
     def _prep_batch(self, batch: Dict[str, np.ndarray],
                     view_count: np.ndarray,
-                    packed_idx=None) -> Dict[str, Any]:
+                    packed_idx=None, fused: bool = False) -> Dict[str, Any]:
         prepped = {
             "target": batch["target"],
             self.cond_key: batch[self.cond_key],
@@ -488,6 +499,8 @@ class Experiment:
             prepped["eval_mask"] = batch["eval_mask"]
         if packed_idx is not None:
             prepped["sample_idx"], prepped["view_idx"] = packed_idx
+        if fused:  # 3 device puts instead of 6 (tpu.fused_feed)
+            prepped = fused_feed.pack_batch(prepped)
         return make_global_batch(prepped, self.mesh)
 
     def _sample_view_count(self, n: int) -> np.ndarray:
@@ -612,10 +625,12 @@ class Experiment:
         def worker():
             it = first_it
             try:
+                fused = self.config.train.fused_feed
                 for batch in self.train_loader:
                     vc, si, vi = self._global_packed_counts(it)
                     q.put(self._prep_batch(batch, vc,
-                                           packed_idx=(si, vi)))
+                                           packed_idx=(si, vi),
+                                           fused=fused))
                     it += 1
                 q.put(stop)
             except BaseException as e:  # noqa: BLE001 — re-raised below
