@@ -60,7 +60,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
 
 def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                      scale: float) -> jnp.ndarray:
+                      scale: float, interpret: bool = False) -> jnp.ndarray:
     b, s, c = q.shape
     spec = pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -76,6 +76,7 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             bytes_accessed=3 * b * s * c * q.dtype.itemsize + 4 * b * s * c,
             transcendentals=b * s * s,
         ),
+        interpret=interpret,  # kernel-math validation off-TPU (tests)
     )(q, k, v)
 
 
@@ -114,7 +115,10 @@ def _attention_impl(q, k, v, scale, use_pallas):
             and pltpu is not None
         )
     if use_pallas:
-        return _pallas_attention(q, k, v, scale)
+        # off-TPU an explicit use_pallas=True runs the same kernel in
+        # interpret mode (kernel-math validation, tests/test_attention.py)
+        return _pallas_attention(q, k, v, scale,
+                                 interpret=jax.default_backend() != "tpu")
     return _xla_attention(q, k, v, scale)
 
 
