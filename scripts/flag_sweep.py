@@ -101,23 +101,62 @@ print(json.dumps({"steps_per_sec": round(best, 4),
 """
 
 
+CANARY = (
+    "from viewfusion_tpu.cli import _honor_platform_env\n"
+    "_honor_platform_env()\n"
+    "import jax; print(jax.devices()[0].platform)\n"
+)
+
+
+def flags_reach_backend() -> bool:
+    """Does LIBTPU_INIT_ARGS reach a libtpu parser on this runtime?
+
+    A deliberately-unknown flag is fatal when parsed; if backend init
+    succeeds anyway, init args are NOT delivered (tunneled runtimes own
+    libtpu on the far side) and per-flag rows would all silently
+    measure the baseline.
+    """
+    env = dict(os.environ)
+    env["LIBTPU_INIT_ARGS"] = "--vf_flag_sweep_canary_unknown=1"
+    r = subprocess.run(
+        [sys.executable, "-c", CANARY], capture_output=True, text=True,
+        timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    return r.returncode != 0
+
+
 def main():
     out = {"workload": "flagship packed train step, batch 28, rows 98",
            "rows": {}}
-    for name, flags in FLAG_SETS.items():
+    # TPU flags go through LIBTPU_INIT_ARGS only: the local XLA_FLAGS
+    # parser aborts on --xla_tpu_* flags when libtpu is not loaded
+    # in-process (fatal 'Unknown flag in XLA_FLAGS'), which is exactly
+    # what happens on tunneled runtimes where libtpu lives server-side.
+    out["init_args_reach_backend"] = flags_reach_backend()
+    print(f"init args reach backend: {out['init_args_reach_backend']}",
+          file=sys.stderr, flush=True)
+    if not out["init_args_reach_backend"]:
+        out["note"] = (
+            "LIBTPU_INIT_ARGS is not delivered to the (remote) libtpu on "
+            "this runtime — an unknown-flag canary initialized fine, so "
+            "per-flag rows would all measure the baseline.  Compiler-flag "
+            "tuning must run on a TPU VM with local libtpu; only the "
+            "baseline row is recorded here."
+        )
+    names = (list(FLAG_SETS) if out["init_args_reach_backend"]
+             else ["baseline"])
+    for name in names:
+        flags = FLAG_SETS[name]
         env = dict(os.environ)
         # the child never enables the persistent compile cache, so every
-        # row is a fresh compile under exactly these flags.  TPU flags
-        # are fed through both mechanisms: XLA_FLAGS (local compiler)
-        # and LIBTPU_INIT_ARGS (libtpu-parsed); whichever the runtime
-        # honors wins, and identical rows across all sets would expose
-        # that neither did.
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+        # row is a fresh compile under exactly these flags.
         if flags:
             env["LIBTPU_INIT_ARGS"] = (
                 env.get("LIBTPU_INIT_ARGS", "") + " " + flags
             ).strip()
-        print(f"[{name}] XLA_FLAGS={flags!r}", file=sys.stderr, flush=True)
+        print(f"[{name}] LIBTPU_INIT_ARGS={flags!r}",
+              file=sys.stderr, flush=True)
         try:
             r = subprocess.run(
                 [sys.executable, "-c", CHILD],
