@@ -245,9 +245,9 @@ def test_device_feed_salt_alignment(tmp_path):
     salts = []
     orig = Experiment._global_packed_counts
 
-    def spy(self, salt):
+    def spy(self, salt, **kw):
         salts.append(salt)
-        return orig(self, salt)
+        return orig(self, salt, **kw)
 
     Experiment._global_packed_counts = spy
     try:

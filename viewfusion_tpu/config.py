@@ -217,6 +217,10 @@ class TrainConfig:
                 f"unknown tpu.sampler {self.sampler!r}; options: ddpm "
                 "(reference ancestral), ddim, dpm, dpm_sde"
             )
+        if self.grad_accum < 1:
+            raise ValueError(
+                f"tpu.grad_accum must be >= 1, got {self.grad_accum}"
+            )
     # Exponential moving average of params (standard diffusion practice;
     # the reference has none). 0 = off; typical 0.9999. Eval/inference
     # use the EMA weights when enabled.
@@ -266,6 +270,14 @@ class TrainConfig:
     # from host normalization by ~1 ulp (pinned at rtol 2e-6 by
     # tests/test_trainer.py::test_u8_feed_matches_float_feed).
     u8_feed: bool = True
+    # Gradient accumulation: split each optimizer step's batch into K
+    # microbatches of batch_size/K rows, lax.scan the fwd+bwd over them
+    # inside ONE jitted dispatch (grads accumulate in the scan carry),
+    # then apply a single Adam update.  data.batch_size stays the
+    # EFFECTIVE batch — grad_accum trains the reference's global batch
+    # (112) on one chip with activation HBM bounded by one microbatch.
+    # 1 = off (the plain fused step, bit-identical to before).
+    grad_accum: int = 1
     # Fuse each train batch into 3 device puts instead of 6
     # (training/fused_feed.py): one batch-major image buffer
     # (target+cond) + two packed int32 metadata arrays.  Wins when the

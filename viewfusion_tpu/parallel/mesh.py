@@ -97,18 +97,26 @@ _BATCH_SPECS: Dict[str, P] = {
 }
 
 
-def batch_sharding(mesh: Mesh, key: str) -> NamedSharding:
-    return NamedSharding(mesh, _BATCH_SPECS.get(key, P(DATA_AXIS)))
+def batch_sharding(mesh: Mesh, key: str, accum: bool = False) -> NamedSharding:
+    """Standard sharding for one batch-dict key.  ``accum=True`` is the
+    gradient-accumulation layout: arrays carry a leading microbatch axis
+    (K, B, ...) that the train step lax.scans over, so the batch specs
+    shift right by one unsharded dim."""
+    spec = _BATCH_SPECS.get(key, P(DATA_AXIS))
+    if accum:
+        spec = P(*((None,) + tuple(spec)))
+    return NamedSharding(mesh, spec)
 
 
-def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
+                accum: bool = False) -> Dict[str, Any]:
     """Place a (host-local == global, single-host case) numpy batch onto
     the mesh with the standard shardings."""
     out = {}
     for k, v in batch.items():
         if not isinstance(v, np.ndarray):
             continue
-        out[k] = jax.device_put(v, batch_sharding(mesh, k))
+        out[k] = jax.device_put(v, batch_sharding(mesh, k, accum))
     return out
 
 
@@ -163,25 +171,31 @@ def num_hosts() -> int:
 
 
 def make_global_batch(local_batch: Dict[str, np.ndarray],
-                      mesh: Mesh) -> Dict[str, Any]:
+                      mesh: Mesh, accum: bool = False) -> Dict[str, Any]:
     """Assemble per-host local numpy shards into global sharded arrays
     (replaces per-rank DataLoader + nodesplitter,
-    data/nmr_dataset.py:55-61 + experiment.py:159-162)."""
+    data/nmr_dataset.py:55-61 + experiment.py:159-162).
+
+    ``accum=True``: arrays are K stacked microbatches (K, B_local, ...)
+    — the batch dim (axis 1) is the one that concatenates across hosts.
+    """
     if jax.process_count() == 1:
-        return shard_batch(local_batch, mesh)
+        return shard_batch(local_batch, mesh, accum)
     out = {}
+    batch_axis = 1 if accum else 0
     for k, v in local_batch.items():
         if not isinstance(v, np.ndarray):
             continue
-        sharding = batch_sharding(mesh, k)
+        sharding = batch_sharding(mesh, k, accum)
         if sharding.is_fully_replicated:
             # replicated arrays (e.g. packed row indices) are identical
             # on every host: local == global
             global_shape = v.shape
         else:
-            global_shape = (
-                v.shape[0] * jax.process_count(),
-            ) + v.shape[1:]
+            global_shape = tuple(
+                d * jax.process_count() if ax == batch_axis else d
+                for ax, d in enumerate(v.shape)
+            )
         out[k] = jax.make_array_from_process_local_data(
             sharding, v, global_shape
         )

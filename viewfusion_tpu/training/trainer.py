@@ -185,11 +185,17 @@ class Experiment:
         view = max(1, cfg.train.mesh_view)
         data = cfg.train.mesh_data
         if data <= 0:
-            # largest divisor of the global batch that fits the devices
+            # largest divisor of the sharded batch dim that fits the
+            # devices: under grad_accum the device batch is one
+            # microbatch (d | batch/K also implies d | batch, so the
+            # full-batch eval arrays stay shardable)
+            shard_rows = max(
+                1, cfg.data.batch_size // cfg.train.grad_accum
+            )
             limit = max(1, ndev // view)
             data = max(
                 d for d in range(1, limit + 1)
-                if cfg.data.batch_size % d == 0
+                if shard_rows % d == 0
             )
         used = data * view
         if used < ndev and self.is_host0:
@@ -281,7 +287,12 @@ class Experiment:
         }
 
         self.state = replicate(self.state, self.mesh)
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        step_impl = (
+            self._train_step_accum_impl
+            if self.config.train.grad_accum > 1
+            else self._train_step_impl
+        )
+        self._train_step = jax.jit(step_impl, donate_argnums=(0,))
 
         # Each sampler entry normalizes a possibly-uint8 cond on device
         # (tpu.u8_feed) — inside jit, so XLA fuses the u8->f32 divide
@@ -358,28 +369,28 @@ class Experiment:
         )
         return out.generated_samples
 
-    def _train_step_impl(self, state: TrainState, batch, rng):
+    def _microbatch_loss(self, params, batch, rng):
+        """Training loss on one (micro)batch dict — shared by the plain
+        fused step and the grad-accum scan body."""
         if "img" in batch:  # fused feed: slices + same-size bitcasts
             batch = fused_feed.unpack_batch(batch)
         target = _norm_img(batch["target"])
         cond = _norm_img(batch[self.cond_key])
-
-        def loss_fn(p):
-            if self.config.train.packed_views:
-                return self.model.loss_packed(
-                    p, rng,
-                    target, cond,
-                    batch["view_count"], batch[self.angle_key],
-                    batch["sample_idx"], batch["view_idx"],
-                )
-            return self.model.loss(
-                p, rng,
+        if self.config.train.packed_views:
+            return self.model.loss_packed(
+                params, rng,
                 target, cond,
                 batch["view_count"], batch[self.angle_key],
-                deterministic=self.config.unet.dropout == 0.0,
+                batch["sample_idx"], batch["view_idx"],
             )
+        return self.model.loss(
+            params, rng,
+            target, cond,
+            batch["view_count"], batch[self.angle_key],
+            deterministic=self.config.unet.dropout == 0.0,
+        )
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    def _apply_update(self, state: TrainState, grads, loss):
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
@@ -393,6 +404,47 @@ class Experiment:
         )
         return TrainState(params, opt_state, state.step + 1, ema), loss
 
+    def _train_step_impl(self, state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(self._microbatch_loss)(
+            state.params, batch, rng
+        )
+        return self._apply_update(state, grads, loss)
+
+    def _train_step_accum_impl(self, state: TrainState, batch, rng):
+        """tpu.grad_accum: K stacked microbatches -> ONE optimizer
+        update, in one jitted dispatch.  ``lax.scan`` bounds activation
+        HBM at a single microbatch while grads accumulate in the carry;
+        the averaged gradient equals the full-batch gradient exactly
+        (equal-size microbatches), so one step here is one reference
+        step at data.batch_size (experiment.py:286-293) — modulo fp
+        summation order.  Each microbatch draws its own t/gamma/noise
+        from a folded key, matching the iid per-row draws of a single
+        large batch."""
+        from jax import lax
+
+        n_micro = self.config.train.grad_accum
+
+        def body(carry, xs):
+            mb, k = xs
+            loss, grads = jax.value_and_grad(self._microbatch_loss)(
+                state.params, mb, jax.random.fold_in(rng, k)
+            )
+            g_acc, l_acc = carry
+            return (
+                jax.tree_util.tree_map(jnp.add, g_acc, grads),
+                l_acc + loss,
+            ), None
+
+        init = (
+            jax.tree_util.tree_map(jnp.zeros_like, state.params),
+            jnp.zeros((), jnp.float32),
+        )
+        (g_sum, l_sum), _ = lax.scan(
+            body, init, (batch, jnp.arange(n_micro))
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / n_micro, g_sum)
+        return self._apply_update(state, grads, l_sum / n_micro)
+
     # ------------------------------------------------------------------
     def _init_dataloaders(self) -> None:
         """Data streams (experiment.py:158-216).  Per-host batch =
@@ -400,6 +452,16 @@ class Experiment:
         cfg = self.config
         nproc = jax.process_count()
         self.local_batch_size = max(1, cfg.data.batch_size // nproc)
+        n_micro = cfg.train.grad_accum
+        if self.local_batch_size % n_micro:
+            raise ValueError(
+                f"tpu.grad_accum={n_micro} must divide the per-host "
+                f"batch {self.local_batch_size} "
+                f"(data.batch_size // process_count)"
+            )
+        # Train-loader batch: one microbatch.  Each optimizer step
+        # consumes grad_accum of them (data.batch_size effective rows).
+        self.micro_batch_size = self.local_batch_size // n_micro
         seed = cfg.train.seed
 
         # Reference dataloader-worker knob (experiment.py:180-187): each
@@ -434,10 +496,10 @@ class Experiment:
                 out_dtype=np.uint8 if cfg.train.u8_feed else np.float32,
             )
             self.train_loader = prefetch(
-                iter(Batcher(stream, self.local_batch_size,
+                iter(Batcher(stream, self.micro_batch_size,
                              n_cond_views=self.max_views,
                              keys=train_keys)),
-                depth=2,
+                depth=2 * n_micro,
             )
 
         testset_size = cfg.data.test.size
@@ -486,9 +548,11 @@ class Experiment:
         )
 
     # ------------------------------------------------------------------
-    def _prep_batch(self, batch: Dict[str, np.ndarray],
-                    view_count: np.ndarray,
-                    packed_idx=None, fused: bool = False) -> Dict[str, Any]:
+    def _host_prep(self, batch: Dict[str, np.ndarray],
+                   view_count: np.ndarray,
+                   packed_idx=None,
+                   fused: bool = False) -> Dict[str, np.ndarray]:
+        """Host-side batch assembly (pre-device-put)."""
         prepped = {
             "target": batch["target"],
             self.cond_key: batch[self.cond_key],
@@ -501,7 +565,22 @@ class Experiment:
             prepped["sample_idx"], prepped["view_idx"] = packed_idx
         if fused:  # 3 device puts instead of 6 (tpu.fused_feed)
             prepped = fused_feed.pack_batch(prepped)
-        return make_global_batch(prepped, self.mesh)
+        return prepped
+
+    def _prep_batch(self, batch: Dict[str, np.ndarray],
+                    view_count: np.ndarray,
+                    packed_idx=None, fused: bool = False) -> Dict[str, Any]:
+        return make_global_batch(
+            self._host_prep(batch, view_count, packed_idx, fused),
+            self.mesh,
+        )
+
+    def _prep_accum(self, micro: list) -> Dict[str, Any]:
+        """Stack grad_accum host-prepped microbatches on a leading K
+        axis and ship them as one sharded put per key; the accum train
+        step lax.scans over axis 0."""
+        stacked = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
+        return make_global_batch(stacked, self.mesh, accum=True)
 
     def _sample_view_count(self, n: int) -> np.ndarray:
         """view_count ~ U{1..max_views} per sample (experiment.py:277-279)."""
@@ -516,16 +595,21 @@ class Experiment:
         self.rng.shuffle(counts)
         return counts
 
-    def _global_packed_counts(self, salt: int):
+    def _global_packed_counts(self, salt: int,
+                              local_batch: Optional[int] = None):
         """Packed mode, multi-host-safe: every process derives the SAME
         global stratified count vector from (seed, salt), so the packed
         row indices can be replicated across hosts while each host's
         batch slice carries its own view_count segment.
 
         Returns (local_counts (B_local,), sample_idx, view_idx) with the
-        index arrays enumerating the GLOBAL batch's valid rows."""
+        index arrays enumerating the GLOBAL batch's valid rows.
+        ``local_batch`` overrides the per-host row count (grad_accum
+        microbatches); default is the full per-host batch (eval)."""
+        lb = (self.local_batch_size if local_batch is None
+              else local_batch)
         nproc = jax.process_count()
-        gb = self.local_batch_size * nproc
+        gb = lb * nproc
         rng = np.random.default_rng(
             [self.config.train.seed, 0x9E37, salt]
         )
@@ -533,8 +617,7 @@ class Experiment:
         rng.shuffle(counts)
         si, vi = self._packed_indices(counts)
         h = jax.process_index()
-        local = counts[h * self.local_batch_size:
-                       (h + 1) * self.local_batch_size]
+        local = counts[h * lb:(h + 1) * lb]
         return local, si, vi
 
     @staticmethod
@@ -624,13 +707,27 @@ class Experiment:
 
         def worker():
             it = first_it
+            n_micro = self.config.train.grad_accum
             try:
                 fused = self.config.train.fused_feed
+                micro = []
                 for batch in self.train_loader:
-                    vc, si, vi = self._global_packed_counts(it)
-                    q.put(self._prep_batch(batch, vc,
-                                           packed_idx=(si, vi),
-                                           fused=fused))
+                    # salt = it*K + k: unique per microbatch, reduces to
+                    # the pre-grad-accum salt sequence at K=1
+                    vc, si, vi = self._global_packed_counts(
+                        it * n_micro + len(micro),
+                        local_batch=self.micro_batch_size,
+                    )
+                    micro.append(self._host_prep(
+                        batch, vc, packed_idx=(si, vi), fused=fused
+                    ))
+                    if len(micro) < n_micro:
+                        continue
+                    if n_micro == 1:
+                        q.put(make_global_batch(micro[0], self.mesh))
+                    else:
+                        q.put(self._prep_accum(micro))
+                    micro = []
                     it += 1
                 q.put(stop)
             except BaseException as e:  # noqa: BLE001 — re-raised below
@@ -708,6 +805,25 @@ class Experiment:
                 t0 = time.perf_counter()
                 if cfg.packed_views:
                     device_batch = batch  # prepped by _device_feed
+                elif cfg.grad_accum > 1:
+                    # dense grad_accum: this step's K microbatches, each
+                    # with its own main-thread U{1..max_views} draw (rng
+                    # call order stays a pure function of the microbatch
+                    # sequence, as in the K=1 path)
+                    group = [batch]
+                    try:
+                        for _ in range(cfg.grad_accum - 1):
+                            group.append(next(self.train_loader))
+                    except StopIteration:
+                        return  # truncated final group: stream ended
+                    device_batch = self._prep_accum([
+                        self._host_prep(
+                            b, self._sample_view_count(
+                                b["target"].shape[0]
+                            )
+                        )
+                        for b in group
+                    ])
                 else:
                     view_count = self._sample_view_count(
                         batch["target"].shape[0]
