@@ -270,6 +270,13 @@ class TrainConfig:
     # from host normalization by ~1 ulp (pinned at rtol 2e-6 by
     # tests/test_trainer.py::test_u8_feed_matches_float_feed).
     u8_feed: bool = True
+    # ZeRO-1: shard the Adam m/v state over the mesh's data axis
+    # (parallel/mesh.py zero1_shard_specs) instead of replicating it —
+    # cuts per-chip optimizer memory by the data-axis size (2x params
+    # worth of f32 at stake).  XLA inserts the update-side collectives
+    # from the sharding annotations.  Single-process launches only
+    # (multi-host checkpointing of partitioned state is not wired).
+    shard_opt_state: bool = False
     # Gradient accumulation: split each optimizer step's batch into K
     # microbatches of batch_size/K rows, lax.scan the fwd+bwd over them
     # inside ONE jitted dispatch (grads accumulate in the scan carry),

@@ -127,6 +127,35 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sharding)
 
 
+def zero1_shard_specs(tree: Any, mesh: Mesh) -> Any:
+    """ZeRO-1 layout for the optimizer state (tpu.shard_opt_state):
+    shard each leaf's largest data-axis-divisible dim over the mesh's
+    data axis, replicate everything indivisible (scalars, schedule
+    counts, small biases).  Adam's m/v are elementwise in the params,
+    so ANY dim works — the largest one gives the most even split.  No
+    reference equivalent (DDP replicates optimizer state per GPU); this
+    is the standard TPU counterpart of ZeRO stage 1 / FSDP's
+    optimizer-state sharding, expressed as shardings + XLA-inserted
+    collectives rather than hand-written gather/scatter."""
+    n = mesh.shape[DATA_AXIS]
+
+    def spec_for(x):
+        shape = getattr(x, "shape", ())
+        best = None
+        for ax, d in enumerate(shape):
+            if d >= n and d % n == 0 and (
+                best is None or d > shape[best]
+            ):
+                best = ax
+        if best is None:
+            return NamedSharding(mesh, P())
+        spec = [None] * len(shape)
+        spec[best] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(spec_for, tree)
+
+
 def initialize_distributed() -> None:
     """Multi-host rendezvous (replaces init_process_group("nccl"),
     utils/dist.py:21-23).

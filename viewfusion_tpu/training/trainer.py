@@ -45,7 +45,9 @@ from viewfusion_tpu.parallel.mesh import (
     make_global_batch,
     make_mesh,
     replicate,
+    zero1_shard_specs,
 )
+from jax.sharding import NamedSharding, PartitionSpec as P
 from viewfusion_tpu.training import fused_feed
 from viewfusion_tpu.training.checkpoint import Checkpoint
 from viewfusion_tpu.training.logging import MetricLogger
@@ -287,6 +289,23 @@ class Experiment:
         }
 
         self.state = replicate(self.state, self.mesh)
+        self._opt_shardings = None
+        if cfg.train.shard_opt_state:
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "tpu.shard_opt_state supports single-process "
+                    "launches only: saving partitioned state from "
+                    "multiple hosts is not wired (each host would need "
+                    "a gather before serialization)"
+                )
+            self._opt_shardings = zero1_shard_specs(
+                self.state.opt_state, self.mesh
+            )
+            self.state = self.state.replace(
+                opt_state=jax.device_put(
+                    self.state.opt_state, self._opt_shardings
+                )
+            )
         step_impl = (
             self._train_step_accum_impl
             if self.config.train.grad_accum > 1
@@ -394,6 +413,18 @@ class Experiment:
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
+        if self._opt_shardings is not None:
+            # ZeRO-1: pin the layouts so the compiled step keeps m/v
+            # partitioned and params replicated regardless of how
+            # propagation would otherwise resolve the elementwise
+            # update (a silent reshard here would defeat the donation
+            # AND the memory saving)
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, self._opt_shardings
+            )
+            params = jax.lax.with_sharding_constraint(
+                params, NamedSharding(self.mesh, P())
+            )
         decay = self.config.train.ema_decay
         ema = (
             jax.tree_util.tree_map(
