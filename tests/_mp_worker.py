@@ -167,6 +167,36 @@ def main() -> None:
     if pid == 0:
         assert os.path.exists(os.path.join(ckdir, "model.msgpack"))
 
+    # --- ZeRO-1 partitioned state: cross-process shard + collective
+    # gather-on-save (checkpoint._gather_partitioned) ------------------
+    import optax
+
+    from viewfusion_tpu.parallel.mesh import zero1_shard_specs
+
+    tx = optax.adam(1e-3)
+    params_host = jax.tree_util.tree_map(np.asarray, params)
+    opt_host = jax.tree_util.tree_map(
+        np.asarray, tx.init(params_host)
+    )
+    opt_shardings = zero1_shard_specs(opt_host, mesh)
+    opt = jax.device_put(opt_host, opt_shardings)
+    assert any(
+        isinstance(x, jax.Array) and not x.is_fully_addressable
+        and not x.sharding.is_fully_replicated
+        for x in jax.tree_util.tree_leaves(opt)
+    ), "no opt leaf is partitioned across processes"
+    # collective save: BOTH processes call; host 0 writes global values
+    ck.save_async("opt.msgpack", {"opt": opt}, it=2)
+    ck.flush()
+    if pid == 0:
+        restored, extra = ck.load("opt.msgpack", {"opt": opt_host})
+        assert extra["it"] == 2
+        for a, b in zip(
+            jax.tree_util.tree_leaves(opt_host),
+            jax.tree_util.tree_leaves(restored["opt"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     print(f"RESULT {pid} {float(loss):.10f} {float(gnorm):.8f} "
           f"{psnr_mean:.8f}", flush=True)
 

@@ -274,8 +274,11 @@ class TrainConfig:
     # (parallel/mesh.py zero1_shard_specs) instead of replicating it —
     # cuts per-chip optimizer memory by the data-axis size (2x params
     # worth of f32 at stake).  XLA inserts the update-side collectives
-    # from the sharding annotations.  Single-process launches only
-    # (multi-host checkpointing of partitioned state is not wired).
+    # from the sharding annotations.  Multi-host: checkpoint saves of
+    # the partitioned state are COLLECTIVE (process_allgather before
+    # host 0 serializes); the trainer's save gates are deterministic
+    # across hosts, and SIGTERM final saves assume the preemption
+    # signal reaches every host (TPU maintenance events do).
     shard_opt_state: bool = False
     # Gradient accumulation: split each optimizer step's batch into K
     # microbatches of batch_size/K rows, lax.scan the fwd+bwd over them

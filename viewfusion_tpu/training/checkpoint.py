@@ -74,6 +74,34 @@ def _jit_copy(leaves):
 _COPY_FN = None
 
 
+def _gather_partitioned(state):
+    """Multi-host collective pre-pass for PARTITIONED state
+    (tpu.shard_opt_state): replace non-fully-addressable, non-replicated
+    leaves with ``process_allgather``'ed host arrays so host 0 can
+    serialize the global value.  COLLECTIVE: every process must reach
+    this at the same point — the trainer's save gates are deterministic
+    across hosts (step counts and globally-reduced metrics), and
+    SIGTERM-triggered final saves assume the preemption signal reaches
+    every host (TPU maintenance events do).  Fully-replicated leaves
+    pass through (their np conversion is single-process-safe);
+    single-process state is returned untouched."""
+    import jax
+
+    def partitioned(x):
+        return (isinstance(x, jax.Array) and not x.is_fully_addressable
+                and not x.sharding.is_fully_replicated)
+
+    if not any(partitioned(x) for x in jax.tree_util.tree_leaves(state)):
+        return state
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda x: multihost_utils.process_allgather(x, tiled=True)
+        if partitioned(x) else x,
+        state,
+    )
+
+
 class Checkpoint:
     def __init__(self, checkpoint_dir: str, config_yaml: Optional[str] = None,
                  is_host0: bool = True):
@@ -117,6 +145,7 @@ class Checkpoint:
         preserved across both APIs — without this, an OLDER queued async
         snapshot could land after (and silently overwrite) this newer
         direct write when the worker catches up."""
+        state = _gather_partitioned(state)  # collective; before host gate
         if not self.is_host0:
             return
         if self._queue is not None:
@@ -140,6 +169,7 @@ class Checkpoint:
         queued behind it (latest wins): if the writer falls behind the
         checkpoint cadence — slow disk, slow D2H — the queue coalesces
         rolling saves instead of growing without bound."""
+        state = _gather_partitioned(state)  # collective; before host gate
         if not self.is_host0:
             return
         self._raise_worker_error()
@@ -148,11 +178,12 @@ class Checkpoint:
         leaves = jax.tree_util.tree_leaves(state)
         if any(isinstance(x, jax.Array) and not x.is_fully_addressable
                for x in leaves):
-            # Multi-host: the state spans remote devices, and a jitted
-            # snapshot dispatched from host 0 alone would violate the
-            # all-processes-participate rule for global arrays.  Fall
-            # back to the synchronous path (np conversion of fully
-            # replicated arrays is single-process-safe).
+            # Multi-host: the remaining global leaves are fully
+            # replicated (partitioned ones were gathered above), but a
+            # jitted snapshot dispatched from host 0 alone would still
+            # violate the all-processes-participate rule.  Fall back to
+            # the synchronous path (np conversion of fully replicated
+            # arrays is single-process-safe).
             self._write(self._path(filename),
                         serialization.to_state_dict(state), extra)
             return

@@ -291,20 +291,20 @@ class Experiment:
         self.state = replicate(self.state, self.mesh)
         self._opt_shardings = None
         if cfg.train.shard_opt_state:
-            if jax.process_count() > 1:
-                raise ValueError(
-                    "tpu.shard_opt_state supports single-process "
-                    "launches only: saving partitioned state from "
-                    "multiple hosts is not wired (each host would need "
-                    "a gather before serialization)"
-                )
             self._opt_shardings = zero1_shard_specs(
                 self.state.opt_state, self.mesh
             )
+            # Partition from HOST values: every process holds the full
+            # opt state (identical init / restored checkpoint), and
+            # device_put of a host array onto a multi-process sharding
+            # slices each host's shards locally — no collective needed
+            # here.  Saves gather it back (checkpoint._gather_partitioned).
+            opt_host = jax.tree_util.tree_map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                self.state.opt_state,
+            )
             self.state = self.state.replace(
-                opt_state=jax.device_put(
-                    self.state.opt_state, self._opt_shardings
-                )
+                opt_state=jax.device_put(opt_host, self._opt_shardings)
             )
         step_impl = (
             self._train_step_accum_impl
