@@ -13,8 +13,10 @@ TPU-native choices (not a port):
   * NHWC layout end-to-end — XLA:TPU's native conv layout.
   * configurable compute dtype (bfloat16 on the MXU) with float32 params;
     softmax/normalization statistics in float32.
-  * attention runs through a Pallas flash-attention kernel on TPU
-    (viewfusion_tpu.ops.attention) with an XLA einsum fallback elsewhere.
+  * attention defaults to XLA einsum (measured fastest at the paper's
+    256-token sizes); a Pallas VMEM-resident kernel
+    (viewfusion_tpu.ops.attention) remains a tested opt-in via
+    ``VF_ATTN_PALLAS=1``.
   * optional rematerialization of the per-scale blocks (jax.checkpoint)
     to trade FLOPs for HBM.
 """
