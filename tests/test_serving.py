@@ -240,3 +240,47 @@ def test_dpm_sampler_requests(service, http_server):
         _post(http_server, {"views": [cond[0].tolist()], "angle": 1.0,
                             "sampler": "nope"})
     assert exc.value.code == 400
+
+
+def test_service_serves_ema_weights(tmp_path):
+    """EMA-trained run dirs (tpu.ema_decay > 0) must serve the EMA
+    shadow params — the weights eval scored for best-model selection
+    (trainer.eval_params) — not the raw Adam iterate."""
+    import jax
+
+    from viewfusion_tpu.serving import ViewFusionService
+    from viewfusion_tpu.training.checkpoint import Checkpoint
+
+    data_dir = str(tmp_path / "data")
+    make_synthetic_shards(data_dir, "train", num_objects=4, image_size=8)
+    make_synthetic_shards(data_dir, "test", num_objects=4, image_size=8)
+    raw = copy.deepcopy(TINY_CONFIG)
+    for split in ("train", "test"):
+        raw["data"]["params"][split]["params"]["path"] = data_dir
+    raw["data"]["params"]["batch_size"] = 4
+    raw["model"]["max_it"] = 4
+    raw["model"]["checkpoint_every"] = 2
+    raw["model"]["validate_every"] = 0
+    # fast-moving EMA so the shadow measurably diverges from the raw
+    # params within 4 steps
+    raw.setdefault("tpu", {})["ema_decay"] = 0.5
+    cfg_path = str(tmp_path / "c.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(raw, f)
+    exp = Experiment(ExperimentArgs(config=cfg_path, train=True),
+                     log_root=str(tmp_path / "logs"))
+    exp.train()
+
+    svc = ViewFusionService(exp.out_dir, batch_size=2, default_steps=2)
+    served = jax.device_get(svc.params)
+    tpl = jax.tree_util.tree_map(np.zeros_like, served)
+    restored, _ = Checkpoint(exp.out_dir).load(
+        "model.msgpack", {"params": tpl, "ema_params": tpl}
+    )
+    srv, ema, raw_p = (jax.tree_util.tree_leaves(t) for t in
+                       (served, restored["ema_params"],
+                        restored["params"]))
+    assert all(np.allclose(a, b) for a, b in zip(srv, ema))
+    # and the two weight sets genuinely differ after 4 Adam steps
+    assert any(not np.allclose(a, b, atol=1e-7)
+               for a, b in zip(ema, raw_p))

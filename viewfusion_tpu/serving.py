@@ -108,12 +108,23 @@ class ViewFusionService:
         name = ("best_model_all.msgpack"
                 if ckpt.exists("best_model_all.msgpack") else
                 "model.msgpack")
-        restored, _ = ckpt.load(name, {"params": params})
+        # EMA-trained runs (tpu.ema_decay > 0) select best-model
+        # checkpoints by evaluating the EMA shadow params
+        # (trainer.eval_params); serve those same weights — the raw
+        # params are the Adam iterate, not what the eval metric scored.
+        # The trainer initializes the shadow whenever decay > 0, so the
+        # field is always present in checkpoints from such runs.
+        template = {"params": params}
+        use_ema = self.config.train.ema_decay > 0
+        if use_ema:
+            template["ema_params"] = params
+        restored, _ = ckpt.load(name, template)
+        weights = restored["ema_params"] if use_ema else restored["params"]
         # Pin the weights on device ONCE: load() restores numpy arrays,
         # and passing those to jit re-uploads the full params tree
         # (~136 MB for the flagship) on EVERY batch — measured ~5 s per
         # request over a tunneled link before this device_put.
-        self.params = jax.device_put(restored["params"])
+        self.params = jax.device_put(weights)
 
         self._jnp = jnp
         self._jax = jax
