@@ -245,7 +245,7 @@ def test_dpm_sampler_requests(service, http_server):
 def test_service_serves_ema_weights(tmp_path):
     """EMA-trained run dirs (tpu.ema_decay > 0) must serve the EMA
     shadow params — the weights eval scored for best-model selection
-    (trainer.eval_params) — not the raw Adam iterate."""
+    (Experiment._infer_params) — not the raw Adam iterate."""
     import jax
 
     from viewfusion_tpu.serving import ViewFusionService
@@ -284,3 +284,41 @@ def test_service_serves_ema_weights(tmp_path):
     # and the two weight sets genuinely differ after 4 Adam steps
     assert any(not np.allclose(a, b, atol=1e-7)
                for a, b in zip(ema, raw_p))
+
+
+def test_service_ema_config_with_params_only_checkpoint(tmp_path):
+    """An EMA-configured run dir whose checkpoint lacks ema_params (e.g.
+    torch-converted weights) must serve the checkpoint's real params —
+    NOT the template, which is the fresh random init (advisor r3)."""
+    import jax
+    import yaml as _yaml
+
+    from viewfusion_tpu.config import load_config
+    from viewfusion_tpu.models.view_fusion import ViewFusion
+    from viewfusion_tpu.serving import ViewFusionService
+    from viewfusion_tpu.training.checkpoint import Checkpoint
+
+    raw = copy.deepcopy(TINY_CONFIG)
+    raw.setdefault("tpu", {})["ema_decay"] = 0.99
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    with open(run_dir / "config.yaml", "w") as f:
+        _yaml.dump(raw, f)
+    cfg = load_config(str(run_dir / "config.yaml"))
+    model = ViewFusion.from_config(cfg)
+    hw = cfg.denoiser.image_size
+    cc = cfg.denoiser.in_channel - 3
+    # distinctive non-random weights, saved WITHOUT an ema_params field
+    params = model.init(
+        jax.random.PRNGKey(7),
+        np.zeros((1, 1, hw, hw, cc), np.float32),
+        np.zeros((1, hw, hw, 3), np.float32),
+    )
+    params = jax.tree_util.tree_map(
+        lambda x: np.full_like(x, 0.123), params
+    )
+    Checkpoint(str(run_dir)).save("model.msgpack", {"params": params})
+
+    svc = ViewFusionService(str(run_dir), batch_size=2, default_steps=2)
+    for leaf in jax.tree_util.tree_leaves(jax.device_get(svc.params)):
+        assert np.allclose(leaf, 0.123)

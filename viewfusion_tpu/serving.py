@@ -110,15 +110,24 @@ class ViewFusionService:
                 "model.msgpack")
         # EMA-trained runs (tpu.ema_decay > 0) select best-model
         # checkpoints by evaluating the EMA shadow params
-        # (trainer.eval_params); serve those same weights — the raw
+        # (Experiment._infer_params); serve those same weights — the raw
         # params are the Adam iterate, not what the eval metric scored.
         # The trainer initializes the shadow whenever decay > 0, so the
-        # field is always present in checkpoints from such runs.
+        # field is present in checkpoints from such runs; a checkpoint
+        # WITHOUT it under an EMA config (e.g. torch-converted weights
+        # dropped into an EMA-configured run dir) must fall back to the
+        # real params — load() would otherwise keep the template, i.e.
+        # the freshly-initialized RANDOM weights.
         template = {"params": params}
         use_ema = self.config.train.ema_decay > 0
         if use_ema:
             template["ema_params"] = params
         restored, _ = ckpt.load(name, template)
+        if use_ema and "ema_params" in ckpt.last_missing:
+            print(f"WARNING: {name} has no ema_params field despite "
+                  "tpu.ema_decay > 0; serving the checkpoint's raw "
+                  "params instead.", flush=True)
+            use_ema = False
         weights = restored["ema_params"] if use_ema else restored["params"]
         # Pin the weights on device ONCE: load() restores numpy arrays,
         # and passing those to jit re-uploads the full params tree

@@ -122,6 +122,10 @@ class Checkpoint:
         # drop the older pending HBM snapshot at submission time
         self._pending: Dict[str, list] = {}
         self._latest_lock = threading.Lock()
+        # Top-level template fields the most recent load() did NOT find
+        # in the file (kept at template values); callers that must not
+        # silently run on fresh values (serving EMA weights) check this.
+        self.last_missing: list = []
 
     def _path(self, filename: str) -> str:
         if not os.path.isabs(filename):
@@ -262,11 +266,13 @@ class Checkpoint:
             payload = serialization.msgpack_restore(f.read())
         saved = payload["state"]
         tpl_sd = serialization.to_state_dict(template)
+        self.last_missing = []
         if isinstance(tpl_sd, dict) and isinstance(saved, dict):
             missing = sorted(set(tpl_sd) - set(saved))
             if missing:
                 print(f"Checkpoint {filename} lacks {missing}; keeping "
                       "fresh values for them.")
+            self.last_missing = missing
             saved = {k: saved.get(k, tpl_sd[k]) for k in tpl_sd}
         state = serialization.from_state_dict(template, saved)
         extra = json.loads(payload["extra"])
