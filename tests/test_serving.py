@@ -214,6 +214,54 @@ def test_warmup_buckets_and_mixed_steps(service):
         assert r.shape == (8, 8, 3) and np.all(np.isfinite(r))
 
 
+def test_minority_bucket_not_starved(service):
+    """Under sustained majority-bucket load, a minority (steps, sampler)
+    bucket must be served within a small multiple of the majority
+    latency.  The oldest-head-first scheduler guarantees a minority
+    request outranks all majority requests that arrived after it; the
+    old tail-requeue design starved it for as long as the flood lasted
+    (SERVE_r03.json: 10x p50 inflation)."""
+    import time
+
+    service.warmup([4, 6])
+    rng = np.random.default_rng(3)
+    cond = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+
+    stop = threading.Event()
+    maj_lat, min_lat = [], []
+    lock = threading.Lock()
+
+    def flood():
+        while not stop.is_set():
+            t0 = time.perf_counter()
+            service.submit(cond, 0.0, steps=4)
+            with lock:
+                maj_lat.append(time.perf_counter() - t0)
+
+    floods = [threading.Thread(target=flood) for _ in range(8)]
+    for t in floods:
+        t.start()
+    try:
+        time.sleep(0.3)  # build sustained queue depth before probing
+        for i in range(4):
+            t0 = time.perf_counter()
+            out = service.submit(cond, 0.1 * i, steps=6)
+            min_lat.append(time.perf_counter() - t0)
+            assert out.shape == (8, 8, 3)
+    finally:
+        stop.set()
+        for t in floods:
+            t.join(60)
+
+    maj_p50 = float(np.percentile(maj_lat, 50))
+    min_p50 = float(np.percentile(min_lat, 50))
+    # one in-flight majority batch + the minority's own fill window;
+    # +0.25s absolute slack absorbs CPU-host timing noise
+    assert min_p50 <= 3.0 * maj_p50 + 0.25, (
+        f"minority p50 {min_p50:.3f}s vs majority p50 {maj_p50:.3f}s"
+    )
+
+
 def test_dpm_sampler_requests(service, http_server):
     """"sampler": "dpm" rides its own (steps, sampler) bucket; invalid
     sampler names map to 400 at the HTTP layer."""

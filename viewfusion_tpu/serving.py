@@ -8,7 +8,10 @@ no extra deps):
     a target azimuth; responses carry the generated view;
   * a background worker coalesces queued requests into fixed-size
     batches — one batch per (steps, sampler) bucket — so the TPU sees a
-    static shape per bucket and never recompiles per request;
+    static shape per bucket and never recompiles per request; buckets
+    are served oldest-waiting-request first, so a minority bucket is
+    reached within one batch cycle of its arrival order instead of
+    starving behind sustained majority traffic;
   * sampling uses the DDIM fast path by default (92 views/s on a v5e at
     50 steps); "sampler": "dpm_sde" selects DPM-Solver++(2M) SDE (best
     measured quality per step, SAMPLER_QUALITY_r03.json) and "dpm" its
@@ -30,9 +33,9 @@ import base64
 import binascii
 import io
 import json
-import queue
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from functools import partial
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -56,6 +59,7 @@ class _Request:
     steps: int
     sampler: str              # "ddim" | "dpm"
     deadline: float
+    arrival: float = field(default_factory=time.monotonic)
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[str] = None
@@ -147,7 +151,10 @@ class ViewFusionService:
             partial(self.model.generate_dpm, sde=True),
             static_argnames=("num_steps",),
         )
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # one FIFO per (steps, sampler) bucket; the worker serves the
+        # bucket whose HEAD request has waited longest (see _run)
+        self._cond = threading.Condition()
+        self._buckets: "dict[tuple, deque[_Request]]" = {}
         self._counter = 0
         # (steps, sampler) buckets precompiled by warmup()
         self.warmed_steps: List[tuple] = []
@@ -235,7 +242,10 @@ class ViewFusionService:
         req = _Request(cond=cond.astype(np.float32), angle=angle,
                        steps=steps, sampler=sampler,
                        deadline=time.monotonic() + wait)
-        self._queue.put(req)
+        with self._cond:
+            self._buckets.setdefault((steps, sampler),
+                                     deque()).append(req)
+            self._cond.notify()
         # first request pays jit compile (minutes on a cold cache)
         if not req.event.wait(wait):
             raise TimeoutError("generation timed out")
@@ -245,34 +255,44 @@ class ViewFusionService:
 
     # ------------------------------------------------------------------
     def _run(self) -> None:
-        pending: "queue.Queue[_Request]" = self._queue
+        # Scheduler: pick the bucket whose HEAD request has waited
+        # longest, wait up to max_wait_ms for that bucket to fill, run
+        # one device batch, repeat.  Oldest-head-first makes service
+        # order FIFO across buckets at batch granularity: a minority
+        # bucket's request outranks every majority request that arrived
+        # after it, so it is served within one in-flight batch plus its
+        # own — the tail-requeue design this replaces let sustained
+        # majority traffic starve minority buckets indefinitely
+        # (SERVE_r03.json measured 10x p50 inflation at concurrency 32).
         while True:
-            first = pending.get()
-            if first.abandoned:
-                continue
-            # collect up to batch_size requests WITH THE SAME (steps,
-            # sampler) bucket; others are re-queued for their own batch
-            # (a novel bucket means a separate compile + device pass
-            # anyway)
-            batch = [first]
-            requeue: List[_Request] = []
-            deadline = time.perf_counter() + self.max_wait_ms / 1e3
-            while len(batch) < self.batch_size:
-                remaining = deadline - time.perf_counter()
-                if remaining <= 0:
-                    break
-                try:
-                    r = pending.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if r.abandoned:
-                    continue
-                same = (r.steps == first.steps
-                        and r.sampler == first.sampler)
-                (batch if same else requeue).append(r)
-            for r in requeue:
-                pending.put(r)
-            self._generate(batch, first.steps, first.sampler)
+            with self._cond:
+                key = None
+                while key is None:
+                    for k in list(self._buckets):
+                        dq = self._buckets[k]
+                        while dq and dq[0].abandoned:
+                            dq.popleft()
+                        if not dq:
+                            del self._buckets[k]
+                    if self._buckets:
+                        key = min(
+                            self._buckets,
+                            key=lambda k: self._buckets[k][0].arrival,
+                        )
+                    else:
+                        self._cond.wait()
+                dq = self._buckets[key]
+                deadline = time.perf_counter() + self.max_wait_ms / 1e3
+                while len(dq) < self.batch_size:
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0:
+                        break
+                    self._cond.wait(timeout=remaining)
+                batch = [dq.popleft()
+                         for _ in range(min(self.batch_size, len(dq)))]
+                if not dq:
+                    del self._buckets[key]
+            self._generate(batch, *key)
 
     def _generate(self, reqs: List[_Request], steps: int,
                   sampler: str = "ddim") -> None:
