@@ -1,11 +1,9 @@
 #!/usr/bin/env python
 """Long eval-gated production training run on the real chip.
 
-Round-2/3 evidence stopped at 600 steps trained WITHOUT live validation
-gates (RUN_TPU_r0{2,3}.json ran eval as a separate process afterwards).
-This driver runs the full reference training loop (experiment.py:218-312
-semantics: gated eval -> inference grid -> best-model checkpoints) for
-thousands of steps in ONE process on the TPU, through the production CLI
+Runs the full reference training loop (experiment.py:218-312 semantics:
+gated eval -> inference grid -> best-model checkpoints) for thousands
+of steps in ONE process on the TPU, through the production CLI
 (`main.py -c cfg -t`), on synthetic NMR-format shards:
 
   - packed train step (shipped default), async checkpointing, rawrec
@@ -13,11 +11,16 @@ thousands of steps in ONE process on the TPU, through the production CLI
   - validation every `--validate-every` steps from `--validate-from`,
     each eval running the configured sampler chain over the test split
     and updating best_model_{ssim,psnr,all} files;
+  - round-4 knobs: `--family shaded` picks the high-headroom synthetic
+    family, `--ema D` turns on the EMA shadow (tpu.ema_decay), and
+    `--eval-train-split` logs held-in ssim_train/psnr_train curves
+    beside the held-out metrics at every gate (the LONGRUN_r03 eval
+    collapse diagnosis: generalization gap vs eval-path bug);
   - afterwards the run dir's metrics.jsonl is distilled into a JSON
-    artifact: loss trajectory, per-gate PSNR/SSIM, steps/s, wall time,
-    which best-model files the gates produced.
+    artifact: loss trajectory, per-gate metrics (both splits), steps/s,
+    wall time, which best-model files the gates produced.
 
-Usage: python scripts/longrun_tpu.py --steps 5000 --out LONGRUN_r03.json
+Usage: python scripts/longrun_tpu.py --steps 5000 --out LONGRUN_A.json
 """
 
 import argparse
@@ -79,6 +82,12 @@ def main():
     ap.add_argument("--validate-every", type=int, default=1000)
     ap.add_argument("--train-objects", type=int, default=128)
     ap.add_argument("--test-objects", type=int, default=56)
+    ap.add_argument("--family", default="squares",
+                    choices=["squares", "shaded"])
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="tpu.ema_decay (0 = off)")
+    ap.add_argument("--eval-train-split", action="store_true",
+                    help="log held-in ssim_train/psnr_train per gate")
     ap.add_argument("--root", default="/tmp/vf_longrun")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -86,21 +95,30 @@ def main():
     from viewfusion_tpu.data.rawrec import convert_shard_dir
     from viewfusion_tpu.data.synthetic import make_synthetic_shards
 
-    data_dir = os.path.join(args.root, "data")
+    data_dir = os.path.join(args.root, f"data-{args.family}")
     if not os.path.exists(os.path.join(data_dir, "NMR-train-00.tar")):
-        print("rendering synthetic shards ...", flush=True)
+        print(f"rendering synthetic shards ({args.family}) ...",
+              flush=True)
         make_synthetic_shards(data_dir, "train",
                               num_objects=args.train_objects,
-                              image_size=64)
+                              image_size=64, family=args.family)
         make_synthetic_shards(data_dir, "test",
                               num_objects=args.test_objects,
-                              image_size=64, seed=10_000)
+                              image_size=64, seed=10_000,
+                              family=args.family)
     convert_shard_dir(data_dir)  # .rec twins: zero-decode mmap reads
 
     raw = copy.deepcopy(TOPOLOGY)
-    raw["model"]["max_it"] = args.steps + 1  # gate fires AT args.steps
+    # validate gate runs BEFORE the max_it stop check in the same
+    # iteration (trainer._train_loop), so the final gate fires AT
+    # max_it — no +1 extra step (advisor r3).
+    raw["model"]["max_it"] = args.steps
     raw["model"]["validate_from"] = args.validate_from
     raw["model"]["validate_every"] = args.validate_every
+    if args.ema > 0:
+        raw["tpu"]["ema_decay"] = args.ema
+    if args.eval_train_split:
+        raw["tpu"]["eval_train_split"] = True
     for split, mode, size in (("train", "train", None),
                               ("test", "test", args.test_objects)):
         p = {"path": data_dir, "mode": mode,
@@ -108,7 +126,8 @@ def main():
         if size:
             p["size"] = size
         raw["data"]["params"][split] = {"params": p}
-    cfg_path = os.path.join(args.root, "longrun.yaml")
+    cfg_name = f"longrun-{args.family}" + ("-ema" if args.ema else "")
+    cfg_path = os.path.join(args.root, cfg_name + ".yaml")
     os.makedirs(args.root, exist_ok=True)
     with open(cfg_path, "w") as f:
         yaml.dump(raw, f)
@@ -125,16 +144,21 @@ def main():
 
     log_root = os.path.join(work, "logs")
     run_dir = os.path.join(log_root, sorted(os.listdir(log_root))[-1])
-    losses, evals = [], []
+    losses, evals, last_it = [], [], 0
     with open(os.path.join(run_dir, "metrics.jsonl")) as f:
         for line in f:
             rec = json.loads(line)
+            last_it = max(last_it, rec.get("it", 0))
             if "loss" in rec:
                 losses.append((rec["it"], rec["loss"]))
             if "psnr" in rec:
-                evals.append({"it": rec["it"],
-                              "psnr": round(rec["psnr"], 3),
-                              "ssim": round(rec["ssim"], 4)})
+                ev = {"it": rec["it"],
+                      "psnr": round(rec["psnr"], 3),
+                      "ssim": round(rec["ssim"], 4)}
+                if "psnr_train" in rec:
+                    ev["psnr_train"] = round(rec["psnr_train"], 3)
+                    ev["ssim_train"] = round(rec["ssim_train"], 4)
+                evals.append(ev)
     tail = [v for _, v in losses[-5:]]
     best_files = sorted(
         n for n in os.listdir(run_dir) if n.startswith("best_model")
@@ -145,9 +169,12 @@ def main():
                  "rawrec data path + gated dpm_sde-50 eval/vis + "
                  "best-model checkpoint policy, through `main.py -t`"),
         "device": None,
-        "steps": args.steps,
+        "family": args.family,
+        "ema_decay": args.ema,
+        "eval_train_split": bool(args.eval_train_split),
+        "steps": last_it,
         "wall_seconds": round(wall, 1),
-        "steps_per_sec_incl_evals": round(args.steps / wall, 3),
+        "steps_per_sec_incl_evals": round(last_it / wall, 3),
         "loss_first": round(losses[0][1], 4),
         "loss_tail_mean": round(sum(tail) / len(tail), 5),
         "evals": evals,
@@ -163,7 +190,7 @@ def main():
         out["device"] = str(jax.devices()[0].device_kind)
     except Exception:
         pass
-    dest = args.out or os.path.join(REPO, "LONGRUN_r03.json")
+    dest = args.out or os.path.join(REPO, "LONGRUN_r04.json")
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items()

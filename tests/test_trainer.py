@@ -72,6 +72,56 @@ def test_train_eval_checkpoint_resume(tiny_run):
     assert extra["psnr"] == pytest.approx(exp.best_metrics["psnr"])
 
 
+def test_eval_train_split_logs_both_curves(tiny_run):
+    """tpu.eval_train_split runs a second metric pass over the TRAIN
+    shards (test-time sample semantics) at every gated eval and logs
+    ssim_train/psnr_train beside the test metrics — the overfitting
+    diagnostic.  Best-model policy must still key on test metrics."""
+    tmp_path, config_path, raw = tiny_run
+    raw = copy.deepcopy(raw)
+    raw["model"]["max_it"] = 6
+    raw["model"]["validate_from"] = 3
+    raw["model"]["validate_every"] = 3
+    raw.setdefault("tpu", {})["eval_train_split"] = True
+    cfg_path = str(tmp_path / "split.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(raw, f)
+    exp = Experiment(ExperimentArgs(config=cfg_path, train=True),
+                     log_root=str(tmp_path / "logs2"))
+    assert exp.train_eval_loader is not None
+    exp.train()
+    with open(os.path.join(exp.out_dir, "metrics.jsonl")) as f:
+        evals = [json.loads(l) for l in f if "psnr" in l]
+    evals = [r for r in evals if "psnr" in r]
+    assert [r["it"] for r in evals] == [3, 6]
+    for r in evals:
+        assert {"ssim", "psnr", "ssim_train", "psnr_train"} <= set(r)
+        assert np.isfinite(r["ssim_train"]) and np.isfinite(r["psnr_train"])
+    # best-metric state tracks the TEST curve
+    assert exp.best_metrics["ssim"] == pytest.approx(
+        max(r["ssim"] for r in evals)
+    )
+
+
+def test_stream_process_mode_disables_train_leak(tmp_path):
+    """NMRStream(process_mode="test") reads train-named shards but
+    applies test-time sample semantics: the 10% target-into-cond leak
+    must never fire (P(no leak in 120 train-mode draws) ~ 3e-6)."""
+    from viewfusion_tpu.data.nmr import NMRStream
+
+    make_synthetic_shards(str(tmp_path), "train", num_objects=8,
+                          image_size=8)
+    stream = NMRStream([str(tmp_path / "NMR-train-00.tar")], "train",
+                       shuffle_buffer=0, seed=11, native=False,
+                       process_mode="test")
+    it = iter(stream)
+    for _ in range(120):
+        s = next(it)
+        leaks = [v for v in range(s["cond"].shape[0])
+                 if np.allclose(s["cond"][v], s["target"])]
+        assert not leaks
+
+
 def test_train_loss_decreases(tiny_run):
     """Loss on the synthetic dataset must trend down within 60 steps."""
     tmp_path, config_path, raw = tiny_run

@@ -251,6 +251,13 @@ class TrainConfig:
     # dense path with fresh iid U{1..max_views} host draws — exact
     # reference eval semantics at masked-row FLOP cost.
     eval_iid_counts: bool = False
+    # Also evaluate on a held-in TRAIN-split stream at every gated eval
+    # and log ssim_train/psnr_train next to the test metrics.  A
+    # widening train/test gap is generalization failure; both curves
+    # collapsing together points at the sampler/eval path instead
+    # (overfitting diagnosis for small datasets; no reference
+    # equivalent).  Best-model selection still uses test metrics only.
+    eval_train_split: bool = False
     # Packed training: run the UNet on exactly sum(view_count) rows
     # (stratified per-batch view counts keep the row budget static) —
     # ~1.7x fewer UNet FLOPs at max_views=6 vs the dense masked layout.

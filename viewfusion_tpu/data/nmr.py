@@ -153,6 +153,7 @@ class NMRStream:
         needed_keys: Optional[Sequence[str]] = None,
         n_cond_views: Optional[int] = None,
         out_dtype: type = np.float32,
+        process_mode: Optional[str] = None,
     ):
         if num_hosts > 1:
             if len(urls) % num_hosts != 0:
@@ -164,6 +165,11 @@ class NMRStream:
             urls = urls[host_id::num_hosts]
         self.urls = urls
         self.mode = mode
+        # mode names the shard files (NMR-{mode}-NN.tar); process_mode
+        # overrides the per-sample SEMANTICS — e.g. evaluating on the
+        # train shards without the 10% target-leak augmentation
+        # (tpu.eval_train_split).  None = same as mode.
+        self.process_mode = process_mode or mode
         self.shuffle_buffer = shuffle_buffer if mode == "train" else 0
         self.resample = resample
         self.relative = relative
@@ -253,7 +259,7 @@ class NMRStream:
         def process(item):
             images, key = item
             return process_sample(
-                images, key, self.mode, self.rng, self.relative,
+                images, key, self.process_mode, self.rng, self.relative,
                 needed=self.needed_keys, n_cond_views=self.n_cond_views,
                 out_dtype=self.out_dtype,
             )
@@ -373,6 +379,7 @@ def create_nmr_stream(
     needed_keys: Optional[Sequence[str]] = None,
     n_cond_views: Optional[int] = None,
     out_dtype: type = np.float32,
+    process_mode: Optional[str] = None,
 ) -> NMRStream:
     """Factory mirroring the reference ``create_webdataset``
     (data/nmr_dataset.py:64-98)."""
@@ -394,4 +401,5 @@ def create_nmr_stream(
         needed_keys=needed_keys,
         n_cond_views=n_cond_views,
         out_dtype=out_dtype,
+        process_mode=process_mode,
     )

@@ -568,6 +568,33 @@ class Experiment:
 
         self.val_loader = val_loader
 
+        # tpu.eval_train_split: a held-in eval stream over the TRAIN
+        # shards with TEST-time sample semantics (no 10% target-leak),
+        # same batch count as the test eval — logged as
+        # ssim_train/psnr_train for overfitting diagnosis.
+        self.train_eval_loader = None
+        if cfg.train.eval_train_split and self.args.train:
+            def train_eval_loader():
+                stream = create_nmr_stream(
+                    cfg.data.train, shuffle_buffer=0, seed=seed + 3,
+                    host_id=jax.process_index(), num_hosts=nproc,
+                    resample=True, relative=self.relative,
+                    process_mode="test",
+                    needed_keys=["target", self.cond_key,
+                                 self.angle_key],
+                    n_cond_views=self.max_views,
+                    out_dtype=(np.uint8 if cfg.train.u8_feed
+                               else np.float32),
+                )
+                it = iter(Batcher(stream, self.local_batch_size,
+                                  n_cond_views=self.max_views,
+                                  keys=["target", self.cond_key,
+                                        self.angle_key]))
+                for _ in range(self.epoch_size):
+                    yield next(it)
+
+            self.train_eval_loader = train_eval_loader
+
         # fixed 12-sample visualization batch, drawn once
         # (experiment.py:210-216)
         vis_stream = create_nmr_stream(
@@ -909,10 +936,13 @@ class Experiment:
                     return
 
     # ------------------------------------------------------------------
-    def eval(self) -> None:
-        """Full-generation metric eval + best-model checkpointing
-        (experiment.py:314-391)."""
-        print("Running metric evaluation...")
+    def _eval_pass(self, loader, salt_base: int, dump: bool,
+                   key_base: int = 0):
+        """One metric pass over ``loader``: full generation + masked
+        global SSIM/PSNR sums.  Returns (ssim, psnr, sample_count).
+        ``key_base=0`` keeps the test pass's per-batch noise keys
+        identical to the pre-refactor sequence (artifact
+        comparability); the train-split pass uses a disjoint base."""
         ssims, psnrs, weights = [], [], []
         # tpu.eval_iid_counts forces the dense path with fresh iid count
         # draws (exact reference eval semantics, experiment.py:329);
@@ -920,10 +950,10 @@ class Experiment:
         # (documented divergence, PARITY.md).
         packed = (self.config.train.packed_views
                   and not self.config.train.eval_iid_counts)
-        for val_batch in self.val_loader():
+        for val_batch in loader():
             if packed:
                 view_count, si, vi = self._global_packed_counts(
-                    1_000_000_000 + len(ssims)
+                    salt_base + len(ssims)
                 )
                 device_batch = self._prep_batch(val_batch, view_count,
                                                 packed_idx=(si, vi))
@@ -933,7 +963,8 @@ class Experiment:
                 )
                 device_batch = self._prep_batch(val_batch, view_count)
             key = jax.random.fold_in(
-                jax.random.PRNGKey(self.config.train.seed + 17), len(ssims)
+                jax.random.PRNGKey(self.config.train.seed + 17),
+                key_base + len(ssims),
             )
             gen = self._eval_samples(key, device_batch)
             target = _norm_img(device_batch["target"])
@@ -945,7 +976,8 @@ class Experiment:
             ssims.append(jnp.sum(compute_ssim(gen, target) * mask))
             psnrs.append(jnp.sum(compute_psnr(gen, target) * mask))
             weights.append(jnp.sum(mask))
-            if self.config.train.eval_dump_images and self.is_host0:
+            if dump and self.config.train.eval_dump_images \
+                    and self.is_host0:
                 if jax.process_count() > 1:
                     print("eval_dump_images skipped: arrays span "
                           "non-addressable devices on multi-host")
@@ -956,13 +988,35 @@ class Experiment:
         # Global means: arrays are mesh-global, so these reductions are
         # XLA collectives — replaces barrier+reduce_dict
         # (experiment.py:347-366).
-        self.last_eval_count = float(jnp.sum(jnp.stack(weights)))
-        ssim = float(jnp.sum(jnp.stack(ssims)) / self.last_eval_count)
-        psnr = float(jnp.sum(jnp.stack(psnrs)) / self.last_eval_count)
+        count = float(jnp.sum(jnp.stack(weights)))
+        ssim = float(jnp.sum(jnp.stack(ssims)) / count)
+        psnr = float(jnp.sum(jnp.stack(psnrs)) / count)
+        return ssim, psnr, count
+
+    def eval(self) -> None:
+        """Full-generation metric eval + best-model checkpointing
+        (experiment.py:314-391)."""
+        print("Running metric evaluation...")
+        ssim, psnr, count = self._eval_pass(
+            self.val_loader, salt_base=1_000_000_000, dump=True
+        )
+        self.last_eval_count = count
         self.log_dict["ssim"] = ssim
         self.log_dict["psnr"] = psnr
         print(f"eval: ssim={ssim:.4f} psnr={psnr:.2f} "
-              f"(n={int(self.last_eval_count)})")
+              f"(n={int(count)})")
+
+        if self.train_eval_loader is not None:
+            # held-in curve next to the held-out one; never feeds the
+            # best-model policy below
+            tr_ssim, tr_psnr, tr_n = self._eval_pass(
+                self.train_eval_loader, salt_base=2_000_000_000,
+                dump=False, key_base=1_000_000,
+            )
+            self.log_dict["ssim_train"] = tr_ssim
+            self.log_dict["psnr_train"] = tr_psnr
+            print(f"eval[train-split]: ssim={tr_ssim:.4f} "
+                  f"psnr={tr_psnr:.2f} (n={int(tr_n)})")
 
         if self.args.train:
             best_cnt = 0
