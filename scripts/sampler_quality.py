@@ -7,16 +7,15 @@ into a JSON artifact.  This turns the "DPM-Solver++ reaches DDIM
 quality in fewer steps" claim into a measured curve on the same
 checkpoint, data, and eval code path the trainer ships.
 
-The ancestral T=2000 chain is NOT rerun here: the eval path dispatches
-one whole-chain program (no chain segmentation) and the tunneled dev
-rig kills executions at ~73 s; its throughput/quality evidence lives in
-BENCH_DETAIL_r03.json and README (measured via segmented generate).
-The longest DDIM setting below (250 steps) serves as the quality
-anchor instead.
+Round 4: the ancestral full-T chain IS in the table — the eval path
+honors tpu.chain_segments (trainer._eval_samples), so the T=2000
+reference chain runs as 8 short dispatches under this rig's ~73 s
+per-execution kill, bit-identical to one generate() call
+(test_segmented_eval_matches_unsegmented).
 
 Usage:
-  python scripts/sampler_quality.py /tmp/vf_tpu/logs/<run> \
-      --out SAMPLER_QUALITY_r03.json
+  python scripts/sampler_quality.py /tmp/vf_longrun/work/logs/<run> \
+      --out SAMPLER_QUALITY_r04.json
 """
 
 import argparse
@@ -32,14 +31,15 @@ import yaml
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SETTINGS = [
-    ("ddim", 250),    # quality anchor: longest practical strided chain
+    ("ancestral", 2000),  # reference chain: the quality anchor
+    ("ddim", 250),    # longest practical strided chain
     ("ddim", 50),     # shipped default (eta=1, stochastic)
     ("ddim", 25),
-    ("ddim0", 50),    # eta=0: deterministic ODE — the apples-to-apples
-    ("ddim0", 20),    #        baseline for the (deterministic) solver
+    ("ddim0", 250),   # eta=0: deterministic ODE — the apples-to-apples
+    ("ddim0", 50),    #        baseline for the (deterministic) solver
+    ("ddim0", 25),
     ("dpm", 50),
     ("dpm", 20),      # default dpm_steps
-    ("dpm", 10),
     ("dpm_sde", 50),  # 2nd-order + per-step noise (self-correcting)
     ("dpm_sde", 20),
     ("dpm_sde", 10),
@@ -66,7 +66,13 @@ def run_eval(src_run, workdir, sampler, steps, test_size):
     cfg_path = os.path.join(run, "config.yaml")
     cfg = yaml.safe_load(open(cfg_path))
     tpu = cfg.setdefault("tpu", {})
-    if sampler in ("dpm", "dpm_sde"):
+    if sampler == "ancestral":
+        # reference T-step chain; segmented into short dispatches so the
+        # rig's per-execution kill never fires (steps is informational —
+        # the chain length is the installed train schedule's T)
+        tpu["sampler"] = "ddpm"
+        tpu["chain_segments"] = 16
+    elif sampler in ("dpm", "dpm_sde"):
         tpu["sampler"] = sampler
         tpu["dpm_steps"] = steps
     else:  # "ddim" (eta=1, shipped default) or "ddim0" (eta=0, ODE)

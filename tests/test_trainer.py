@@ -339,6 +339,42 @@ def test_trainer_segmented_generation_matches(tiny_run):
         np.testing.assert_array_equal(one.weight_arr, seg.weight_arr)
 
 
+def test_segmented_eval_matches_unsegmented(tiny_run):
+    """tpu.chain_segments > 1 in the ancestral EVAL path
+    (_eval_samples -> _generate_segmented with packed rows, no frame
+    capture) must produce bit-identical samples to the single-dispatch
+    program — this is what lets the full-T quality anchor run on rigs
+    with per-execution runtime limits."""
+    import dataclasses
+
+    tmp_path, config_path, raw = tiny_run
+    raw = copy.deepcopy(raw)
+    raw.setdefault("tpu", {})["packed_views"] = True
+    # float feed: under u8_feed the single-dispatch program fuses the
+    # /255 normalize into consumers while the segmented path normalizes
+    # eagerly — a documented ~1-ulp divergence (test_u8_feed_matches_
+    # float_feed); bit-exactness is the claim HERE, so feed float.
+    raw["tpu"]["u8_feed"] = False
+    cfg_path = str(tmp_path / "segeval.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(raw, f)
+    exp = Experiment(ExperimentArgs(config=cfg_path, train=True),
+                     log_root=str(tmp_path / "logs_segeval"))
+    batch = next(iter(exp.val_loader()))
+    vc, si, vi = exp._global_packed_counts(77)
+    device_batch = exp._prep_batch(batch, vc, packed_idx=(si, vi))
+    import jax
+
+    key = jax.random.PRNGKey(4)
+    one = np.asarray(exp._eval_samples(key, device_batch))
+    exp.config = dataclasses.replace(
+        exp.config,
+        train=dataclasses.replace(exp.config.train, chain_segments=4),
+    )
+    seg = np.asarray(exp._eval_samples(key, device_batch))
+    np.testing.assert_array_equal(one, seg)
+
+
 def test_u8_feed_matches_float_feed(tiny_run):
     """tpu.u8_feed ships uint8 batches + normalizes inside the jitted
     step.  The u8->f32 cast is exact and the /255 divide is the same

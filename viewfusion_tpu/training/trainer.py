@@ -351,7 +351,9 @@ class Experiment:
         )
         self._jit_generate_ddim = jax.jit(_gen_ddim)
         self._jit_generate_dpm = jax.jit(_gen_dpm)
-        self._jit_chain_segment = jax.jit(_chain_segment)
+        self._jit_chain_segment = jax.jit(
+            _chain_segment, static_argnames=("capture_aux",)
+        )
 
     @property
     def _infer_params(self):
@@ -382,6 +384,16 @@ class Experiment:
                 packed_idx=packed_idx,
             )
         # sampler name validated at config load (TrainConfig.__post_init__)
+        if self.config.train.chain_segments > 1:
+            # ancestral eval as K short dispatches (tpu.chain_segments):
+            # bit-identical to one generate() call, but each device
+            # execution stays under per-execution runtime limits
+            out = self._generate_segmented(
+                key, _norm_img(cond), vc, angle,
+                self.config.train.chain_segments,
+                packed_idx=packed_idx, capture_aux=False,
+            )
+            return out.generated_samples
         out = self._jit_generate(
             self._infer_params, key, cond, vc, angle,
             packed_idx=packed_idx, capture_aux=False,
@@ -1138,24 +1150,29 @@ class Experiment:
         return np.asarray(fn(self._infer_params, key, cond, view_count,
                              angle))
 
-    def _generate_segmented(self, key, cond, view_count, angle, segs):
+    def _generate_segmented(self, key, cond, view_count, angle, segs,
+                            packed_idx=None, capture_aux=True):
         """Reverse chain as ``segs`` jitted dispatches (tpu.chain_segments):
         identical math/RNG to one generate() call, but each device
         execution runs T/segs steps — preemption windows and
-        per-execution runtime limits stay bounded."""
+        per-execution runtime limits stay bounded.  ``packed_idx`` /
+        ``capture_aux=False`` serve the segmented EVAL path (packed UNet
+        rows, no frame buffers)."""
         model = self.model
         sample_num = self.config.train.sample_num
         T = model.schedule.num_timesteps
         carry = model.init_chain(key, cond, view_count,
-                                 sample_num=sample_num)
+                                 sample_num=sample_num,
+                                 capture_aux=capture_aux)
         bounds = np.linspace(T, 0, segs + 1).round().astype(int)
         for hi, lo in zip(bounds[:-1], bounds[1:]):
             ts = jnp.arange(int(hi) - 1, int(lo) - 1, -1)
             carry = self._jit_chain_segment(
-                self._infer_params, carry, ts, cond, view_count, angle
+                self._infer_params, carry, ts, cond, view_count, angle,
+                packed_idx=packed_idx, capture_aux=capture_aux,
             )
             jax.block_until_ready(carry[0])  # bound each execution
-        return model.finalize_chain(carry)
+        return model.finalize_chain(carry, capture_aux=capture_aux)
 
     def _grid_output(self, ret_arr, target, cond, view_count,
                      name: str) -> None:
