@@ -127,7 +127,13 @@ def classify_conv(eqn):
 
 
 def conv_flops(eqn):
-    """2 * spatial-out * Cin * Cout * k*k * batch, read off the eqn."""
+    """Useful MACs x2, read off the eqn.
+
+    Base count is 2 * output-elements * contraction-size.  A dgrad of a
+    stride-s conv is lowered as an lhs-dilated conv (lhs_dilation=s)
+    where (s^2-1)/s^2 of the taps hit structural zeros — counting them
+    as FLOPs would report >peak rates (each fwd MAC has exactly one
+    dgrad MAC, so the useful count is the base divided by s^2)."""
     dn = eqn.params["dimension_numbers"]
     lhs, rhs = (v.aval.shape for v in eqn.invars)
     out = eqn.outvars[0].aval.shape
@@ -136,7 +142,8 @@ def conv_flops(eqn):
     cout_dim = dn.out_spec[1]
     cout = out[cout_dim]
     k_contract = int(np.prod(rhs)) // cout
-    return 2.0 * float(np.prod(out)) * k_contract
+    dil = float(np.prod(eqn.params["lhs_dilation"]))
+    return 2.0 * float(np.prod(out)) * k_contract / dil
 
 
 def dot_flops(eqn):

@@ -96,6 +96,24 @@ def test_flops_cross_check_vs_analytic(ledger_cats):
     assert 2.5 * analytic_fwd < total < 3.6 * analytic_fwd
 
 
+def test_backward_flops_balance(ledger_cats):
+    """Every fwd MAC has exactly one wgrad MAC and (except the stem,
+    whose input carries no gradient) one dgrad MAC.  This catches
+    lowering-artifact overcounts — e.g. dgrad of a stride-2 conv is an
+    lhs-dilated conv where 3/4 of taps are structural zeros; counting
+    them once reported >peak TFLOP/s on the chip."""
+    _, cats = ledger_cats
+
+    def tot(cat):
+        return sum(e["count"] * e["flops"] for e in cats[cat].values())
+
+    fwd, wgrad, dgrad = tot("conv_fwd"), tot("conv_wgrad"), tot("conv_dgrad")
+    stem = next(e["flops"] for e in cats["conv_fwd"].values()
+                if e["in_shapes"][0][3] == 6)  # 6-channel input = stem
+    assert abs(wgrad - fwd) / fwd < 1e-6
+    assert abs(dgrad - (fwd - stem)) / fwd < 1e-6
+
+
 def test_conv_flops_formula(ledger_cats):
     """conv_flops must reduce to 2*H*W*R*k*k*Cin*Cout on a known fwd
     conv regardless of layout bookkeeping."""
