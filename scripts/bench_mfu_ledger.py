@@ -342,7 +342,12 @@ def main():
 
     import jax
 
+    from viewfusion_tpu.cli import _honor_platform_env
     from viewfusion_tpu.utils.cache import enable_compilation_cache
+
+    # sitecustomize pins the tunneled TPU platform; honor the
+    # caller's JAX_PLATFORMS (CPU smoke runs must not touch the chip)
+    _honor_platform_env()
     enable_compilation_cache()
 
     train_step, shapes, tx, step_args = build_train_step()

@@ -90,7 +90,10 @@ def drive(service, concurrency: int, seconds: float, image_size: int,
         i = 0
         while time.perf_counter() < stop:
             i += 1
-            steps = alt_steps if (cid == 0 and i % 10 == 0) else None
+            # true 10% minority mix across ALL clients (the r03 harness
+            # put alt traffic only on client 0, i.e. 10%/C overall —
+            # too thin to expose starvation at high concurrency)
+            steps = alt_steps if ((i + cid) % 10 == 0) else None
             t0 = time.perf_counter()
             try:
                 service.submit(views[: 1 + (i % 2)],
@@ -120,6 +123,8 @@ def main():
     ap.add_argument("--concurrency", default="8,16,32")
     args = ap.parse_args()
 
+    from viewfusion_tpu.cli import _honor_platform_env
+    _honor_platform_env()  # CPU mechanism test must not touch the chip
     from viewfusion_tpu.serving import ViewFusionService
 
     image_size = 16
@@ -150,6 +155,14 @@ def main():
             "alt_bucket_p50_ms": (round(float(np.percentile(alt_ms, 50)), 1)
                                   if alt_ms else None),
         }
+        main_ms = sorted(l[0] * 1e3 for l in lats if not l[1])
+        if alt_ms and main_ms:
+            # the fairness contract (oldest-head-first bucket pickup):
+            # minority p50 within a small multiple of the majority's
+            row["main_bucket_p50_ms"] = round(
+                float(np.percentile(main_ms, 50)), 1)
+            row["alt_over_main_p50"] = round(
+                row["alt_bucket_p50_ms"] / row["main_bucket_p50_ms"], 2)
         rows.append(row)
         print(row)
         assert not errors, errors[:3]
@@ -157,7 +170,9 @@ def main():
     result = {
         "what": ("closed-loop load test of ViewFusionService: dynamic "
                  "batching (batch 8, 10ms window), per-bucket warmup "
-                 "[8, 16] steps, ~10% of traffic on the 16-step bucket"),
+                 "[8, 16] steps, 10% of ALL traffic on the 16-step "
+                 "bucket; scheduler serves the bucket whose head "
+                 "request waited longest (starvation fix, r4)"),
         "platform": jax.devices()[0].platform,
         "device": jax.devices()[0].device_kind,
         "model": f"tiny UNet {image_size}px (mechanism test; absolute "
