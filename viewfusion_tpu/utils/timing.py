@@ -26,12 +26,20 @@ __all__ = ["chained_op_seconds"]
 
 
 def chained_op_seconds(op, x0, *operands, K1: int = 16, K2: int = 80,
-                       repeats: int = 3) -> float:
+                       repeats: int = 3,
+                       min_gap_s: float = 0.02,
+                       max_scale: int = 64) -> float:
     """Seconds per call of ``op(x, *operands)`` where ``x`` has ``x0``'s
     shape/dtype and the output reduces to a scalar mean.
 
     ``op`` must be traceable; operands beyond the first are closed over
     unchanged each iteration.
+
+    For microsecond-scale ops the (K2-K1)-op window can be smaller than
+    host-timer/tunnel jitter, yielding garbage (even negative) slopes;
+    when the measured gap is below ``min_gap_s`` the chain lengths are
+    scaled up 8x and re-measured (bounded by ``max_scale``).  Scan
+    length is a cheap knob: the body compiles once per K.
     """
     import jax
     import jax.numpy as jnp
@@ -55,4 +63,9 @@ def chained_op_seconds(op, x0, *operands, K1: int = 16, K2: int = 80,
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return (timed(K2) - timed(K1)) / (K2 - K1)
+    scale = 1
+    while True:
+        t1, t2 = timed(K1 * scale), timed(K2 * scale)
+        if t2 - t1 >= min_gap_s or scale >= max_scale:
+            return (t2 - t1) / ((K2 - K1) * scale)
+        scale *= 8
