@@ -340,6 +340,7 @@ def main():
                     help="trace + classify only (no device timing)")
     args = ap.parse_args()
 
+    import bench
     import jax
 
     from viewfusion_tpu.cli import _honor_platform_env
@@ -348,6 +349,11 @@ def main():
     # sitecustomize pins the tunneled TPU platform; honor the
     # caller's JAX_PLATFORMS (CPU smoke runs must not touch the chip)
     _honor_platform_env()
+    if not args.inventory_only:
+        # a previous client's dying session can hold the tunneled chip
+        # for minutes; probe until it actually executes
+        bench.wait_for_chip(float(os.environ.get("VF_BENCH_WAIT_CHIP_S",
+                                                 "1800")))
     enable_compilation_cache()
 
     train_step, shapes, tx, step_args = build_train_step()
@@ -434,7 +440,8 @@ def main():
                       "gflops_total": round(small_flops / 1e9, 3),
                       "note": "below --min-flops per call; untimed"},
         "method": ("each unique signature timed in isolation "
-                   "(fetch-forced marginal slope, K=8 vs 40); isolated "
+                   "(fetch-forced marginal slope, K=32 vs 160, adaptively "
+                   "lengthened for microsecond ops); isolated "
                    "times are lower bounds (no fusion context), so the "
                    "residual upper-bounds elementwise/reduction/copy/"
                    "optimizer work plus fusion deltas"),
