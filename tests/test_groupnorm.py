@@ -164,3 +164,28 @@ def test_unet_param_tree_unchanged(tiny_config):
     gn_paths = [p for p in flat if "GroupNorm_0" in p]
     assert gn_paths, "no GroupNorm_0 params found"
     assert all(p.endswith("scale") or p.endswith("bias") for p in gn_paths)
+
+
+def test_bwd_v1_v2_equivalent(rng):
+    """The r4 backward rewrite (_bwd_kernel_v2: multi-sample blocks,
+    derived a/b reductions, scratch instead of recompute) must produce
+    the same gradients as the r3 kernel it replaces (VF_GN_BWD=v1
+    escape hatch).  Shapes chosen so the v2 block batch is > 1 (small
+    L x C) AND == 1 (large L), plus a fold case (C < 128)."""
+    from viewfusion_tpu.ops.groupnorm import _pallas_bwd
+
+    for b, l, c, g in [(8, 8, 320, 32), (2, 512, 192, 32),
+                       (6, 16, 64, 32)]:
+        x = _rand(rng, (b, l, c))
+        gy = _rand(rng, (b, l, c))
+        scale = _rand(rng, (c,)) + 1.0
+        bias = _rand(rng, (c,))
+        mean = _rand(rng, (b, 1, g))
+        rstd = jnp.abs(_rand(rng, (b, 1, g))) + 0.5
+        outs = {}
+        for ver in ("v1", "v2"):
+            outs[ver] = _pallas_bwd(x, scale, bias, mean, rstd, gy,
+                                    g, 1e-5, "silu", True, version=ver)
+        for a, b_ in zip(outs["v1"], outs["v2"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-4, rtol=1e-4)

@@ -206,6 +206,73 @@ def _bwd_kernel(x_ref, scale_ref, bias_ref, mean_ref, rstd_ref, g_ref,
     dbias_ref[0] = dbias
 
 
+def _bwd_kernel_v2(x_ref, scale_ref, bias_ref, mean_ref, rstd_ref, g_ref,
+                   dx_ref, dscale_ref, dbias_ref, dy_scr, xhat_scr,
+                   *, groups: int, eps: float, act: str, c_logical: int,
+                   chunk: int):
+    """Round-4 backward rewrite, driven by the MFU ledger
+    (MFU_LEDGER_r04.json): v1 was the step's single largest measured
+    category (22.9 ms, 21% of the 107 ms step) at only 95-315 GB/s.
+    Three changes, same math:
+
+      * multi-sample blocks — the grid steps over B/bs instead of B, so
+        small-L shapes (40 KB blocks at (98, 64, 320)) stop being
+        grid-overhead-bound;
+      * two reductions instead of four — sum(dxhat) == scale * sum(dy)
+        and sum(dxhat*xhat) == scale * sum(dy*xhat) channel-wise, so
+        a/b are derived from dbias/dscale after the loop;
+      * VMEM scratch for dy/xhat — pass 2 is two fmas per element
+        instead of recomputing the normalize + sigmoid chain.
+    """
+    del eps
+    bs, l, c = x_ref.shape
+    m_cg, m_gc = _group_onehots(c, groups, c_logical)
+    n = float(l * (c // groups))
+    hi = jax.lax.Precision.HIGHEST
+    scale = scale_ref[0].astype(jnp.float32)
+    bias = bias_ref[0].astype(jnp.float32)
+
+    for s in range(bs):
+        mean_c = jnp.dot(mean_ref[s], m_gc,
+                         preferred_element_type=jnp.float32, precision=hi)
+        rstd_c = jnp.dot(rstd_ref[s], m_gc,
+                         preferred_element_type=jnp.float32, precision=hi)
+        sc = rstd_c * scale          # z  = x*sc + sh ; rstd*dxhat = dy*sc
+        sh = bias - mean_c * sc
+        mr = mean_c * rstd_c         # xhat = x*rstd - mr
+
+        dbias = jnp.zeros((1, c), jnp.float32)
+        dscale = jnp.zeros((1, c), jnp.float32)
+        for k in range(l // chunk):
+            sl = slice(k * chunk, (k + 1) * chunk)
+            xs = x_ref[s, sl, :].astype(jnp.float32)
+            gs = g_ref[s, sl, :].astype(jnp.float32)
+            xhat = xs * rstd_c - mr
+            dy = gs * _act_grad(xs * sc + sh, act)
+            dy_scr[sl, :] = dy
+            xhat_scr[sl, :] = xhat
+            dbias = dbias + jnp.sum(dy, axis=0, keepdims=True)
+            dscale = dscale + jnp.sum(dy * xhat, axis=0, keepdims=True)
+
+        a_g = jnp.dot(dbias * scale, m_cg,
+                      preferred_element_type=jnp.float32, precision=hi) / n
+        b_g = jnp.dot(dscale * scale, m_cg,
+                      preferred_element_type=jnp.float32, precision=hi) / n
+        ra = rstd_c * jnp.dot(a_g, m_gc,
+                              preferred_element_type=jnp.float32,
+                              precision=hi)
+        rb = rstd_c * jnp.dot(b_g, m_gc,
+                              preferred_element_type=jnp.float32,
+                              precision=hi)
+        for k in range(l // chunk):
+            sl = slice(k * chunk, (k + 1) * chunk)
+            dx_ref[s, sl, :] = (
+                dy_scr[sl, :] * sc - (xhat_scr[sl, :] * rb + ra)
+            ).astype(dx_ref.dtype)
+        dscale_ref[s] = dscale  # (1, C) slice of the (bs, 1, C) block
+        dbias_ref[s] = dbias
+
+
 # ---------------------------------------------------------------------
 # pallas_call wrappers (operate on (B, L, C); grid over B)
 # ---------------------------------------------------------------------
@@ -271,27 +338,66 @@ def _pallas_fwd(x3, scale, bias, groups, eps, act, interpret):
     return y.reshape(b, l, c), mean, rstd
 
 
+def _block_batch(b: int, lf: int, cf: int,
+                 target_bytes: int = 2 << 20) -> int:
+    """Samples per grid step: largest divisor of ``b`` whose bf16 input
+    block stays under ``target_bytes``.  One sample per step leaves
+    small-L shapes grid-overhead-bound (the r4 ledger measured the
+    (98, 64, 320) blocks at 95 GB/s); ~2 MB blocks restore pipelining
+    without blowing the scoped-VMEM budget."""
+    per_sample = lf * cf * 2
+    bs = max(1, min(b, target_bytes // max(per_sample, 1)))
+    while b % bs:
+        bs -= 1
+    return bs
+
+
 def _pallas_bwd(x3, scale, bias, mean, rstd, g3, groups, eps, act,
-                interpret):
+                interpret, version=None):
+    import os
+
     b, l, c = x3.shape
     f = _fold_factor(l, c)
     lf, cf = l // f, f * c
     sc = jnp.tile(scale.reshape(1, c), (1, f))
     bi = jnp.tile(bias.reshape(1, c), (1, f))
-    kern = functools.partial(_bwd_kernel, groups=groups, eps=eps, act=act,
-                             c_logical=c, chunk=_chunk_rows(lf, cf))
+    chunk = _chunk_rows(lf, cf)
+    if version is None:
+        version = os.environ.get("VF_GN_BWD", "v2")
+
+    if version == "v1":  # measurement escape hatch for the r4 A/B
+        kern = functools.partial(_bwd_kernel, groups=groups, eps=eps,
+                                 act=act, c_logical=c, chunk=chunk)
+        bs, scratch = 1, []
+    else:
+        kern = functools.partial(_bwd_kernel_v2, groups=groups, eps=eps,
+                                 act=act, c_logical=c, chunk=chunk)
+        bs = _block_batch(b, lf, cf)
+        vmem = pltpu.VMEM if pltpu is not None else pl.ANY
+        scratch = [vmem((lf, cf), jnp.float32),
+                   vmem((lf, cf), jnp.float32)]
+
+    def rows_blk():
+        return pl.BlockSpec((bs, lf, cf), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def stat_blk(width):
+        # trailing two dims equal the array dims (Mosaic tiling rule)
+        return pl.BlockSpec((bs, 1, width), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     dx, dscale_p, dbias_p = pl.pallas_call(
         kern,
-        grid=(b,),
-        in_specs=[_row_spec(lf, cf), _vec_spec(cf), _vec_spec(cf),
-                  _stat_spec(groups), _stat_spec(groups),
-                  _row_spec(lf, cf)],
-        out_specs=[_row_spec(lf, cf), _stat_spec(cf), _stat_spec(cf)],
+        grid=(b // bs,),
+        in_specs=[rows_blk(), _vec_spec(cf), _vec_spec(cf),
+                  stat_blk(groups), stat_blk(groups), rows_blk()],
+        out_specs=[rows_blk(), stat_blk(cf), stat_blk(cf)],
         out_shape=[
             jax.ShapeDtypeStruct((b, lf, cf), x3.dtype),
             jax.ShapeDtypeStruct((b, 1, cf), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, cf), jnp.float32),
         ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=16 * b * l * c,
             bytes_accessed=3 * b * l * c * x3.dtype.itemsize,
