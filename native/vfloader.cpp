@@ -31,6 +31,7 @@
 #include <deque>
 #include <memory>
 #include <mutex>
+#include <set>
 #include <string>
 #include <thread>
 #include <vector>
@@ -248,12 +249,13 @@ struct Loader {
   std::deque<std::unique_ptr<Sample>> queue;
   std::deque<std::string> shard_queue;
   int active_producers = 0;
+  std::set<std::string> done_shards;  // distinct shards fully processed (mu)
+  size_t unique_paths = 0;            // distinct entries in `paths`
   bool epoch_done = false;   // all shards consumed and not resampling
   bool failed = false;       // no readable data: stop instead of spinning
   std::atomic<bool> stop{false};
   std::atomic<long> decode_errors{0};
   std::atomic<long> pushed{0};
-  std::atomic<long> epochs{0};
   std::vector<std::thread> threads;
 
   uint64_t next_rand() {  // xorshift64*
@@ -275,9 +277,14 @@ struct Loader {
     std::unique_lock<std::mutex> lk(mu);
     if (shard_queue.empty()) {
       if (!resample) return false;
-      // guard: a completed epoch that produced zero samples means no
-      // shard is readable — fail instead of spinning forever
-      if (epochs.fetch_add(1) >= 1 && pushed.load() == 0) {
+      // guard: declare "no readable data" (instead of resampling
+      // forever) only once EVERY distinct shard has FINISHED processing
+      // at least once with zero samples produced overall — decode is
+      // deterministic, so re-reading those shards cannot help.  The old
+      // guard counted queue refills, which is racy: on a loaded host
+      // the other producers can empty/refill the queue twice while the
+      // first shard is still mid-decode, failing a healthy stream.
+      if (done_shards.size() >= unique_paths && pushed.load() == 0) {
         failed = true;
         epoch_done = true;
         cv_pop.notify_all();
@@ -379,7 +386,11 @@ struct Loader {
 
   void producer() {
     std::string shard;
-    while (!stop && pop_shard(shard)) process_shard(shard);
+    while (!stop && pop_shard(shard)) {
+      process_shard(shard);
+      std::unique_lock<std::mutex> lk(mu);
+      done_shards.insert(shard);
+    }
     std::unique_lock<std::mutex> lk(mu);
     if (--active_producers == 0 && !resample) {
       epoch_done = true;
@@ -408,6 +419,8 @@ void* vf_loader_open(const char** paths, int n_paths, int n_threads,
   if (n_paths <= 0) return nullptr;  // empty shard list is caller error
   auto* L = new Loader();
   for (int i = 0; i < n_paths; ++i) L->paths.emplace_back(paths[i]);
+  L->unique_paths =
+      std::set<std::string>(L->paths.begin(), L->paths.end()).size();
   L->total_views = total_views;
   L->resample = resample != 0;
   L->rng_state = seed * 0x9E3779B97F4A7C15ULL + 1;

@@ -148,6 +148,40 @@ def test_all_samples_corrupt_raises(tmp_path):
         list(reader)
 
 
+def test_all_corrupt_resampled_raises(tmp_path):
+    """The dead-stream guard must terminate a resampled stream whose
+    every shard yields nothing, even with several producer threads
+    (this is the spin-forever case the guard exists for)."""
+    path = str(tmp_path / "bad.tar")
+    with TarShardWriter(path) as w:
+        w.write({"__key__": "x", "0000.png": b"junk"})
+    reader = NativeShardReader([path], n_threads=4, resample=True)
+    with pytest.raises(RuntimeError, match="no readable samples"):
+        next(iter(reader))
+    reader.close()
+
+
+def test_resampled_startup_not_failed_by_thread_race(tmp_path):
+    """Regression: the old dead-stream guard counted shard-queue
+    REFILLS, so with resample=True and more producer threads than
+    shards it could declare "no readable samples" while the first
+    decode was still in flight (the queue emptied and refilled twice
+    before the first push landed) — observed as a flaky trainer
+    failure under full-suite CPU load.  The guard now requires every
+    distinct shard to have completed processing with zero pushes.
+    Construct-and-read repeatedly with 8 threads on one shard: every
+    construction must yield."""
+    paths = make_synthetic_shards(str(tmp_path), "train", num_objects=2,
+                                  image_size=8)
+    for i in range(25):
+        reader = NativeShardReader(paths[:1], n_threads=8, resample=True,
+                                   seed=i)
+        it = iter(reader)
+        got = [next(it)[1] for _ in range(3)]
+        reader.close()
+        assert len(got) == 3
+
+
 def test_uint8_contract(tmp_path):
     paths = make_synthetic_shards(str(tmp_path), "train", num_objects=1,
                                   image_size=8)
