@@ -141,9 +141,11 @@ def main():
                  "wall includes per-setting jit compile"),
         "src_run": os.path.abspath(args.run_dir),
         "test_size": args.test_size,
-        "note": ("checkpoint trained 600 steps on synthetic NMR-format "
-                 "data — absolute PSNR is low; the SAMPLER DELTA at "
-                 "matched checkpoint is the measurement"),
+        "note": ("checkpoint is the run dir's best_model_all (quality-"
+                 "gated peak of the training run) on synthetic NMR-"
+                 "format data — absolute PSNR is synthetic-bounded; the "
+                 "SAMPLER DELTA at matched checkpoint is the "
+                 "measurement"),
         "rows": rows,
     }
     with open(args.out, "w") as f:
