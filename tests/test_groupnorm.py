@@ -189,3 +189,82 @@ def test_bwd_v1_v2_equivalent(rng):
         for a, b_ in zip(outs["v1"], outs["v2"]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=1e-4, rtol=1e-4)
+
+
+def test_bwd_v3_layout_native_equivalent(rng):
+    """The rank-4 layout-native backward (_bwd_kernel_v3, fed NHWC
+    directly) must match the rank-3 v2 kernel it re-expresses.  The 4-D
+    boundary exists to shed the conv-layout <-> row-major copies the
+    round-4 trace measured around the 3-D pallas boundary
+    (RESIDUAL_r04.json: 19.2 ms/step of layout copies)."""
+    from viewfusion_tpu.ops.groupnorm import _pallas_bwd, _pallas_bwd4
+
+    for b, h, w, c, g in [(3, 4, 4, 128, 32), (2, 8, 4, 256, 32)]:
+        x4 = _rand(rng, (b, h, w, c))
+        g4 = _rand(rng, (b, h, w, c))
+        scale = _rand(rng, (c,)) + 1.0
+        bias = _rand(rng, (c,))
+        mean = _rand(rng, (b, 1, g))
+        rstd = jnp.abs(_rand(rng, (b, 1, g))) + 0.5
+        dx3, ds3, db3 = _pallas_bwd(
+            x4.reshape(b, h * w, c), scale, bias, mean, rstd,
+            g4.reshape(b, h * w, c), g, 1e-5, "silu", True, version="v2")
+        dx4, ds4, db4 = _pallas_bwd4(
+            x4, scale, bias, mean, rstd, g4, g, 1e-5, "silu", True)
+        np.testing.assert_allclose(np.asarray(dx4).reshape(b, h * w, c),
+                                   np.asarray(dx3), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(ds4), np.asarray(ds3),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(db4), np.asarray(db3),
+                                   atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("act", ["none", "silu"])
+def test_hybrid_4d_boundary_matches_flax(rng, act):
+    """group_norm_act on a lane-filling NHWC input routes the hybrid
+    impl through the 4-D custom_vjp (_gn_act_hybrid4); forward and all
+    three gradients must still match the flax oracle."""
+    b, h, w, c, g = 2, 4, 4, 128, 32
+    x = _rand(rng, (b, h, w, c))
+    scale = _rand(rng, (c,)) + 1.0
+    bias = _rand(rng, (c,))
+
+    from viewfusion_tpu.ops.groupnorm import _use_4d_boundary
+    assert _use_4d_boundary(x)
+
+    def f_new(x, s, b_):
+        return (group_norm_act(x, s, b_, groups=g, eps=1e-5, act=act,
+                               use_pallas="hybrid") ** 2).sum()
+
+    def f_ref(x, s, b_):
+        return (_flax_oracle(x, s, b_, g, 1e-5, act) ** 2
+                if act == "silu" else
+                _flax_oracle(x, s, b_, g, 1e-5, act) ** 2).sum()
+
+    y_new = group_norm_act(x, scale, bias, groups=g, eps=1e-5, act=act,
+                           use_pallas="hybrid")
+    y_ref = _flax_oracle(x, scale, bias, g, 1e-5, act)
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref),
+                               atol=2e-4, rtol=2e-4)
+    gn = jax.grad(f_new, argnums=(0, 1, 2))(x, scale, bias)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(gn, gr):
+        scale_ = float(jnp.max(jnp.abs(b_))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale_,
+                                   np.asarray(b_) / scale_,
+                                   atol=3e-5, rtol=3e-4)
+
+
+def test_gn_boundary_env_escape_hatch(rng, monkeypatch):
+    """VF_GN_BOUNDARY=3d must force the rank-3 boundary (measurement
+    escape hatch for scripts/ab_gn_boundary.py)."""
+    from viewfusion_tpu.ops import groupnorm as gnmod
+
+    x = _rand(rng, (2, 4, 4, 128))
+    monkeypatch.setenv("VF_GN_BOUNDARY", "3d")
+    assert not gnmod._use_4d_boundary(x)
+    monkeypatch.delenv("VF_GN_BOUNDARY")
+    assert gnmod._use_4d_boundary(x)
+    # narrow channels / non-4D never take the 4-D boundary
+    assert not gnmod._use_4d_boundary(_rand(rng, (2, 4, 4, 64)))
+    assert not gnmod._use_4d_boundary(_rand(rng, (2, 16, 128)))

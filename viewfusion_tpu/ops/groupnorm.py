@@ -144,6 +144,50 @@ def _fwd_kernel(x_ref, scale_ref, bias_ref, y_ref, mean_ref, rstd_ref,
     rstd_ref[0] = rstd_g
 
 
+def _fwd_kernel_v2(x_ref, scale_ref, bias_ref, y_ref, mean_ref, rstd_ref,
+                   *, groups: int, eps: float, act: str, c_logical: int,
+                   chunk: int):
+    """Round-4 forward rewrite with the v2-backward block structure:
+    multi-sample grid blocks (small-L shapes stop being grid-overhead
+    bound) and the same chunked two-pass schedule — ONE HBM read of x
+    feeding both the statistics and the normalize+activation, ONE write
+    of y.  The XLA hybrid forward reads x twice (stats pass + normalize
+    pass); whether the saved read beats the lost producer fusion is an
+    empirical question settled by scripts/ab_gn_fwd.py."""
+    bs, l, c = x_ref.shape
+    m_cg, m_gc = _group_onehots(c, groups, c_logical)
+    n = float(l * (c // groups))
+    hi = jax.lax.Precision.HIGHEST
+    scale = scale_ref[0].astype(jnp.float32)
+    bias = bias_ref[0].astype(jnp.float32)
+
+    for s in range(bs):
+        s1 = jnp.zeros((1, c), jnp.float32)
+        s2 = jnp.zeros((1, c), jnp.float32)
+        for k in range(l // chunk):
+            xs = x_ref[s, k * chunk:(k + 1) * chunk, :].astype(jnp.float32)
+            s1 = s1 + jnp.sum(xs, axis=0, keepdims=True)
+            s2 = s2 + jnp.sum(xs * xs, axis=0, keepdims=True)
+        mean_g = jnp.dot(s1, m_cg, preferred_element_type=jnp.float32,
+                         precision=hi) / n
+        ms_g = jnp.dot(s2, m_cg, preferred_element_type=jnp.float32,
+                       precision=hi) / n
+        var_g = jnp.maximum(ms_g - mean_g * mean_g, 0.0)
+        rstd_g = jax.lax.rsqrt(var_g + eps)          # (1, G)
+        mean_c = jnp.dot(mean_g, m_gc, preferred_element_type=jnp.float32,
+                         precision=hi)
+        rstd_c = jnp.dot(rstd_g, m_gc, preferred_element_type=jnp.float32,
+                         precision=hi)
+        sc = rstd_c * scale                          # z = x*sc + sh
+        sh = bias - mean_c * sc
+        for k in range(l // chunk):
+            sl = slice(k * chunk, (k + 1) * chunk)
+            xs = x_ref[s, sl, :].astype(jnp.float32)
+            y_ref[s, sl, :] = _act_fwd(xs * sc + sh, act).astype(y_ref.dtype)
+        mean_ref[s] = mean_g   # (1, G) slice of the (bs, 1, G) block
+        rstd_ref[s] = rstd_g
+
+
 # ---------------------------------------------------------------------
 # backward kernel: standard GroupNorm gradient with the activation
 # gradient folded in; per-sample dscale/dbias partials.
@@ -273,6 +317,69 @@ def _bwd_kernel_v2(x_ref, scale_ref, bias_ref, mean_ref, rstd_ref, g_ref,
         dbias_ref[s] = dbias
 
 
+def _bwd_kernel_v3(x_ref, scale_ref, bias_ref, mean_ref, rstd_ref, g_ref,
+                   dx_ref, dscale_ref, dbias_ref, dy_scr, xhat_scr,
+                   *, groups: int, eps: float, act: str, c_logical: int,
+                   chunk: int):
+    """v2 math on rank-4 (bs, H, W, C) blocks — the layout-native
+    boundary.  Identical arithmetic to _bwd_kernel_v2; the only change
+    is that rows are (H-chunk, W, C) slabs reduced over axes (0, 1), so
+    the op consumes the model's NHWC tensors DIRECTLY.  Feeding pallas
+    the 4-D arrays (instead of an external reshape to (B, L, C)) lets
+    XLA propagate the custom-call's default layout into the producing /
+    consuming convs: the round-4 trace (RESIDUAL_r04.json) measured
+    19.2 ms/step of layout copies, most of them the
+    conv-layout <-> row-major (B, L, C) conversions around these calls.
+    """
+    del eps
+    bs, h, w, c = x_ref.shape
+    m_cg, m_gc = _group_onehots(c, groups, c_logical)
+    n = float(h * w * (c // groups))
+    hi = jax.lax.Precision.HIGHEST
+    scale = scale_ref[0].astype(jnp.float32)
+    bias = bias_ref[0].astype(jnp.float32)
+
+    for s in range(bs):
+        mean_c = jnp.dot(mean_ref[s], m_gc,
+                         preferred_element_type=jnp.float32, precision=hi)
+        rstd_c = jnp.dot(rstd_ref[s], m_gc,
+                         preferred_element_type=jnp.float32, precision=hi)
+        sc = rstd_c * scale          # (1, C): z = x*sc + sh
+        sh = bias - mean_c * sc
+        mr = mean_c * rstd_c         # xhat = x*rstd - mr
+
+        dbias = jnp.zeros((1, c), jnp.float32)
+        dscale = jnp.zeros((1, c), jnp.float32)
+        for k in range(h // chunk):
+            sl = slice(k * chunk, (k + 1) * chunk)
+            xs = x_ref[s, sl, :, :].astype(jnp.float32)   # (chunk, W, C)
+            gs = g_ref[s, sl, :, :].astype(jnp.float32)
+            xhat = xs * rstd_c - mr
+            dy = gs * _act_grad(xs * sc + sh, act)
+            dy_scr[sl, :, :] = dy
+            xhat_scr[sl, :, :] = xhat
+            dbias = dbias + jnp.sum(dy, axis=(0, 1))[None, :]
+            dscale = dscale + jnp.sum(dy * xhat, axis=(0, 1))[None, :]
+
+        a_g = jnp.dot(dbias * scale, m_cg,
+                      preferred_element_type=jnp.float32, precision=hi) / n
+        b_g = jnp.dot(dscale * scale, m_cg,
+                      preferred_element_type=jnp.float32, precision=hi) / n
+        ra = rstd_c * jnp.dot(a_g, m_gc,
+                              preferred_element_type=jnp.float32,
+                              precision=hi)
+        rb = rstd_c * jnp.dot(b_g, m_gc,
+                              preferred_element_type=jnp.float32,
+                              precision=hi)
+        for k in range(h // chunk):
+            sl = slice(k * chunk, (k + 1) * chunk)
+            dx_ref[s, sl, :, :] = (
+                dy_scr[sl, :, :] * sc - (xhat_scr[sl, :, :] * rb + ra)
+            ).astype(dx_ref.dtype)
+        dscale_ref[s] = dscale  # (1, C) slice of the (bs, 1, C) block
+        dbias_ref[s] = dbias
+
+
 # ---------------------------------------------------------------------
 # pallas_call wrappers (operate on (B, L, C); grid over B)
 # ---------------------------------------------------------------------
@@ -307,21 +414,41 @@ def _compiler_params():
     return params(vmem_limit_bytes=64 * 1024 * 1024)
 
 
-def _pallas_fwd(x3, scale, bias, groups, eps, act, interpret):
+def _pallas_fwd(x3, scale, bias, groups, eps, act, interpret, version=None):
+    import os
+
     b, l, c = x3.shape
     f = _fold_factor(l, c)
     lf, cf = l // f, f * c
     x4 = x3.reshape(b, lf, cf)
     sc = jnp.tile(scale.reshape(1, c), (1, f))
     bi = jnp.tile(bias.reshape(1, c), (1, f))
-    kern = functools.partial(_fwd_kernel, groups=groups, eps=eps, act=act,
-                             c_logical=c, chunk=_chunk_rows(lf, cf))
+    chunk = _chunk_rows(lf, cf)
+    if version is None:
+        version = os.environ.get("VF_GN_FWD", "v2")
+
+    if version == "v1":  # measurement escape hatch (one-sample grid)
+        kern = functools.partial(_fwd_kernel, groups=groups, eps=eps,
+                                 act=act, c_logical=c, chunk=chunk)
+        bs = 1
+    else:
+        kern = functools.partial(_fwd_kernel_v2, groups=groups, eps=eps,
+                                 act=act, c_logical=c, chunk=chunk)
+        bs = _block_batch(b, lf, cf)
+
+    def rows_blk():
+        return pl.BlockSpec((bs, lf, cf), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def stat_blk(width):
+        return pl.BlockSpec((bs, 1, width), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     y, mean, rstd = pl.pallas_call(
         kern,
-        grid=(b,),
-        in_specs=[_row_spec(lf, cf), _vec_spec(cf), _vec_spec(cf)],
-        out_specs=[_row_spec(lf, cf), _stat_spec(groups),
-                   _stat_spec(groups)],
+        grid=(b // bs,),
+        in_specs=[rows_blk(), _vec_spec(cf), _vec_spec(cf)],
+        out_specs=[rows_blk(), stat_blk(groups), stat_blk(groups)],
         out_shape=[
             jax.ShapeDtypeStruct((b, lf, cf), x3.dtype),
             jax.ShapeDtypeStruct((b, 1, groups), jnp.float32),
@@ -411,6 +538,50 @@ def _pallas_bwd(x3, scale, bias, mean, rstd, g3, groups, eps, act,
     dscale_p = dscale_p.reshape(b, f, c).sum(axis=1)
     dbias_p = dbias_p.reshape(b, f, c).sum(axis=1)
     return dx.reshape(b, l, c), dscale_p, dbias_p
+
+
+def _pallas_bwd4(x4, scale, bias, mean, rstd, g4, groups, eps, act,
+                 interpret):
+    """Rank-4 (layout-native) GroupNorm backward: same v2 math, NHWC
+    blocks, no external reshape (see _bwd_kernel_v3 docstring)."""
+    b, h, w, c = x4.shape
+    chunk = _chunk_rows(h, w * c)
+    bs = _block_batch(b, h * w, c)
+    kern = functools.partial(_bwd_kernel_v3, groups=groups, eps=eps,
+                             act=act, c_logical=c, chunk=chunk)
+    vmem = pltpu.VMEM if pltpu is not None else pl.ANY
+
+    def rows_blk():
+        return pl.BlockSpec((bs, h, w, c), lambda i: (i, 0, 0, 0),
+                            memory_space=vmem)
+
+    def stat_blk(width):
+        return pl.BlockSpec((bs, 1, width), lambda i: (i, 0, 0),
+                            memory_space=vmem)
+
+    dx, dscale_p, dbias_p = pl.pallas_call(
+        kern,
+        grid=(b // bs,),
+        in_specs=[rows_blk(), _vec_spec(c), _vec_spec(c),
+                  stat_blk(groups), stat_blk(groups), rows_blk()],
+        out_specs=[rows_blk(), stat_blk(c), stat_blk(c)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, c), x4.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+        ],
+        scratch_shapes=[vmem((h, w, c), jnp.float32),
+                        vmem((h, w, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=16 * b * h * w * c,
+            bytes_accessed=3 * b * h * w * c * x4.dtype.itemsize,
+            transcendentals=b * h * w * c if act == "silu" else 0,
+        ),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(x4, scale.reshape(1, c), bias.reshape(1, c), mean, rstd, g4)
+    # (B, 1, C) partials -> (B, C), matching _pallas_bwd's contract
+    return dx, dscale_p.reshape(b, c), dbias_p.reshape(b, c)
 
 
 # ---------------------------------------------------------------------
@@ -585,6 +756,54 @@ def _gn_act_hybrid_bwd(groups, eps, act, interpret, res, g):
 _gn_act_hybrid.defvjp(_gn_act_hybrid_fwd, _gn_act_hybrid_bwd)
 
 
+# ---------------------------------------------------------------------
+# hybrid, 4-D (layout-native) boundary: the custom_vjp wraps the NHWC
+# tensor directly, so the only forced-layout surface is the backward
+# pallas_call's own operands — the forward keeps full XLA fusion AND
+# sheds the external (B, L, C) reshape copies (RESIDUAL_r04.json:
+# 19.2 ms/step of layout copies around the 3-D boundary).
+# ---------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_act_hybrid4(x4, scale, bias, groups, eps, act, interpret):
+    b, c = x4.shape[0], x4.shape[-1]
+    y, _, _ = _hybrid_fwd_math(x4.reshape(b, -1, c), scale, bias, groups,
+                               eps, act)
+    return y.reshape(x4.shape)
+
+
+def _gn_act_hybrid4_fwd(x4, scale, bias, groups, eps, act, interpret):
+    b, c = x4.shape[0], x4.shape[-1]
+    # the reshape here is INSIDE the vjp forward, so XLA fuses it into
+    # the stats/normalize passes instead of materializing a copy
+    y, mean, rstd = _hybrid_fwd_math(x4.reshape(b, -1, c), scale, bias,
+                                     groups, eps, act)
+    return y.reshape(x4.shape), (x4, scale, bias, mean, rstd)
+
+
+def _gn_act_hybrid4_bwd(groups, eps, act, interpret, res, g):
+    x4, scale, bias, mean, rstd = res
+    dx, dscale_p, dbias_p = _pallas_bwd4(
+        x4, scale, bias, mean, rstd, g, groups, eps, act, interpret
+    )
+    return (dx, jnp.sum(dscale_p, axis=0).reshape(scale.shape).astype(
+        scale.dtype),
+        jnp.sum(dbias_p, axis=0).reshape(bias.shape).astype(bias.dtype))
+
+
+_gn_act_hybrid4.defvjp(_gn_act_hybrid4_fwd, _gn_act_hybrid4_bwd)
+
+
+def _use_4d_boundary(x):
+    """The 4-D boundary needs NHWC with lane-filling channels; the env
+    knob is the measurement escape hatch (see scripts/ab_gn_boundary.py).
+    """
+    import os
+
+    if os.environ.get("VF_GN_BOUNDARY", "4d") == "3d":
+        return False
+    return x.ndim == 4 and x.shape[-1] >= 128
+
+
 def group_norm_act(
     x: jnp.ndarray,
     scale: jnp.ndarray,
@@ -609,8 +828,11 @@ def group_norm_act(
     if act not in ("none", "silu"):
         raise ValueError(f"unsupported act {act!r}")
     b, c = x.shape[0], x.shape[-1]
-    x3 = x.reshape(b, -1, c)
     impl = _dispatch(use_pallas)
+    if impl in ("hybrid", "hybrid-interpret") and _use_4d_boundary(x):
+        return _gn_act_hybrid4(x, scale, bias, groups, eps, act,
+                               impl == "hybrid-interpret")
+    x3 = x.reshape(b, -1, c)
     if impl in ("pallas", "pallas-interpret"):
         y = _gn_act_pallas(x3, scale, bias, groups, eps, act,
                            impl == "pallas-interpret")
