@@ -220,15 +220,17 @@ def test_bwd_v3_layout_native_equivalent(rng):
 
 
 @pytest.mark.parametrize("act", ["none", "silu"])
-def test_hybrid_4d_boundary_matches_flax(rng, act):
+def test_hybrid_4d_boundary_matches_flax(rng, act, monkeypatch):
     """group_norm_act on a lane-filling NHWC input routes the hybrid
-    impl through the 4-D custom_vjp (_gn_act_hybrid4); forward and all
-    three gradients must still match the flax oracle."""
+    impl through the 4-D custom_vjp (_gn_act_hybrid4) when opted in
+    (VF_GN_BOUNDARY=4d; default is 3d per GN_BOUNDARY_AB_r05.json);
+    forward and all three gradients must still match the flax oracle."""
     b, h, w, c, g = 2, 4, 4, 128, 32
     x = _rand(rng, (b, h, w, c))
     scale = _rand(rng, (c,)) + 1.0
     bias = _rand(rng, (c,))
 
+    monkeypatch.setenv("VF_GN_BOUNDARY", "4d")
     from viewfusion_tpu.ops.groupnorm import _use_4d_boundary
     assert _use_4d_boundary(x)
 
@@ -237,9 +239,7 @@ def test_hybrid_4d_boundary_matches_flax(rng, act):
                                use_pallas="hybrid") ** 2).sum()
 
     def f_ref(x, s, b_):
-        return (_flax_oracle(x, s, b_, g, 1e-5, act) ** 2
-                if act == "silu" else
-                _flax_oracle(x, s, b_, g, 1e-5, act) ** 2).sum()
+        return (_flax_oracle(x, s, b_, g, 1e-5, act) ** 2).sum()
 
     y_new = group_norm_act(x, scale, bias, groups=g, eps=1e-5, act=act,
                            use_pallas="hybrid")
@@ -256,15 +256,18 @@ def test_hybrid_4d_boundary_matches_flax(rng, act):
 
 
 def test_gn_boundary_env_escape_hatch(rng, monkeypatch):
-    """VF_GN_BOUNDARY=3d must force the rank-3 boundary (measurement
-    escape hatch for scripts/ab_gn_boundary.py)."""
+    """The 3-D boundary is the measured default (GN_BOUNDARY_AB_r05:
+    4-D regresses the flagship step 13%); VF_GN_BOUNDARY=4d is the
+    opt-in for re-measurement (scripts/ab_gn_boundary.py)."""
     from viewfusion_tpu.ops import groupnorm as gnmod
 
     x = _rand(rng, (2, 4, 4, 128))
+    monkeypatch.delenv("VF_GN_BOUNDARY", raising=False)
+    assert not gnmod._use_4d_boundary(x)  # default: 3-D
     monkeypatch.setenv("VF_GN_BOUNDARY", "3d")
     assert not gnmod._use_4d_boundary(x)
-    monkeypatch.delenv("VF_GN_BOUNDARY")
+    monkeypatch.setenv("VF_GN_BOUNDARY", "4d")
     assert gnmod._use_4d_boundary(x)
-    # narrow channels / non-4D never take the 4-D boundary
+    # narrow channels / non-4D never take the 4-D boundary even opted in
     assert not gnmod._use_4d_boundary(_rand(rng, (2, 4, 4, 64)))
     assert not gnmod._use_4d_boundary(_rand(rng, (2, 16, 128)))

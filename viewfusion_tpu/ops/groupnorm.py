@@ -794,12 +794,19 @@ _gn_act_hybrid4.defvjp(_gn_act_hybrid4_fwd, _gn_act_hybrid4_bwd)
 
 
 def _use_4d_boundary(x):
-    """The 4-D boundary needs NHWC with lane-filling channels; the env
-    knob is the measurement escape hatch (see scripts/ab_gn_boundary.py).
-    """
+    """4-D boundary is OFF by default: measured on-chip it REGRESSES the
+    flagship packed step 13% (GN_BOUNDARY_AB_r05.json: 3-D 9.89 steps/s
+    vs 4-D 8.61, fresh process per variant, interleaved — the r4 driver
+    bench's 8.57 was this default, shipped unmeasured).  The layout
+    copies it was aimed at (RESIDUAL_r04.json: 19.2 ms) are evidently
+    cheaper than whatever fusion/layout choices the 4-D custom_vjp
+    boundary costs XLA elsewhere.  VF_GN_BOUNDARY=4d re-enables it for
+    measurement (set BEFORE process start: the knob is read at trace
+    time; scripts/ab_gn_boundary.py spawns fresh processes per variant
+    for exactly this reason)."""
     import os
 
-    if os.environ.get("VF_GN_BOUNDARY", "4d") == "3d":
+    if os.environ.get("VF_GN_BOUNDARY", "3d") != "4d":
         return False
     return x.ndim == 4 and x.shape[-1] >= 128
 
