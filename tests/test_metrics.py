@@ -92,3 +92,82 @@ def test_ssim_monotonic_in_noise():
         cur = float(compute_ssim(jnp.asarray(x), jnp.asarray(y))[0])
         assert cur < prev
         prev = cur
+
+
+# ---------------------------------------------------------------------
+# Bounds: SSIM is mathematically confined to [-1, 1]; the float32
+# E[x^2]-E[x]^2 variance form loses that under cancellation (the
+# SSIM = -2.11 of SAMPLER_QUALITY_r04.json came from exactly this, via
+# TPU's default-bf16 conv precision on an over-smoothed ddim0 batch).
+# compute_ssim now pins conv precision and projects the moments back
+# onto their exact-arithmetic constraints; these tests are the guard.
+# ---------------------------------------------------------------------
+_TOL = 1e-5
+
+
+def _assert_bounded(ssim):
+    ssim = np.asarray(ssim)
+    assert np.all(np.isfinite(ssim)), ssim
+    assert np.all(ssim >= -1.0 - _TOL), ssim
+    assert np.all(ssim <= 1.0 + _TOL), ssim
+
+
+def test_ssim_bounded_huge_values():
+    # 1e4-offset images: blur(x^2) ~ 1e8, so f32 cancellation noise in
+    # the variances (~+-6) dwarfs c2 = 9e-4 -- the raw formula divides
+    # by a near-zero/negative denominator here
+    rng = np.random.default_rng(3)
+    x = (1e4 + rng.standard_normal((4, 32, 32, 3)) * 1e-2).astype(np.float32)
+    y = (1e4 + rng.standard_normal((4, 32, 32, 3)) * 1e-2).astype(np.float32)
+    _assert_bounded(compute_ssim(jnp.asarray(x), jnp.asarray(y),
+                                 data_range=1.0))
+
+
+def test_ssim_bounded_anticorrelated_huge():
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    x = (1e3 + a).astype(np.float32)
+    y = (1e3 - a).astype(np.float32)
+    _assert_bounded(compute_ssim(jnp.asarray(x), jnp.asarray(y)))
+
+
+def test_ssim_bounded_constant_patches():
+    # exactly flat regions: true sigma = 0, denominator = c2 only
+    x = np.zeros((2, 32, 32, 3), np.float32)
+    y = np.ones((2, 32, 32, 3), np.float32) * 0.5
+    _assert_bounded(compute_ssim(jnp.asarray(x), jnp.asarray(y)))
+    x[:, :16] = 0.7  # half-flat, step edge
+    _assert_bounded(compute_ssim(jnp.asarray(x), jnp.asarray(y)))
+
+
+def test_ssim_bounded_bf16_inputs():
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.05, x.shape), 0, 1).astype(np.float32)
+    out = compute_ssim(jnp.asarray(x, jnp.bfloat16),
+                       jnp.asarray(y, jnp.bfloat16))
+    _assert_bounded(out)
+
+
+def test_ssim_bounded_under_bf16_matmul_precision():
+    # the TPU failure mode: under default-bf16 conv precision, flat
+    # [0,1] images used to leave the range; the explicit
+    # Precision.HIGHEST on the blur must override the context
+    import jax
+
+    rng = np.random.default_rng(6)
+    x = rng.uniform(0.4, 0.6, (2, 64, 64, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 1e-3, x.shape), 0, 1).astype(np.float32)
+    with jax.default_matmul_precision("bfloat16"):
+        ours = compute_ssim.__wrapped__(jnp.asarray(x), jnp.asarray(y))
+    _assert_bounded(ours)
+    oracle = _ssim_oracle(x, y)
+    np.testing.assert_allclose(np.asarray(ours), oracle, atol=2e-3)
+
+
+def test_ssim_near_identical_not_above_one():
+    # pre-fix this measured 1.0013 even in plain f32 on CPU
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0.4, 0.6, (2, 64, 64, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 1e-3, x.shape), 0, 1).astype(np.float32)
+    _assert_bounded(compute_ssim(jnp.asarray(x), jnp.asarray(y)))

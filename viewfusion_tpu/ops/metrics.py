@@ -38,7 +38,17 @@ def gaussian_window(win_size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _depthwise_blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Separable depthwise Gaussian filter, VALID padding, NHWC."""
+    """Separable depthwise Gaussian filter, VALID padding, NHWC.
+
+    Precision is pinned to HIGHEST: on TPU, f32 convolutions default to
+    bf16 multiplies (~4e-3 relative error), and the variance estimator
+    below subtracts two blurred quantities whose true difference can be
+    ~0 on flat image regions — the bf16 error then exceeds the c2=9e-4
+    stabilizer, flips the cs denominator negative, and SSIM leaves its
+    mathematical [-1, 1] range (the SSIM = -2.11 artifact of
+    SAMPLER_QUALITY_r04.json, produced by the over-smoothed ddim0-50
+    batch).  HIGHEST makes the blur exact-f32; metrics are negligible
+    FLOPs, so there is no perf tradeoff."""
     c = x.shape[-1]
     k = win.shape[0]
     kern_h = jnp.tile(win.reshape(k, 1, 1, 1), (1, 1, 1, c))
@@ -47,13 +57,13 @@ def _depthwise_blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
                                         ("NHWC", "HWIO", "NHWC"))
     x = jax.lax.conv_general_dilated(
         x, kern_h, (1, 1), "VALID", dimension_numbers=dn,
-        feature_group_count=c,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
     dn = jax.lax.conv_dimension_numbers(x.shape, (1, k, 1, c),
                                         ("NHWC", "HWIO", "NHWC"))
     return jax.lax.conv_general_dilated(
         x, kern_w, (1, 1), "VALID", dimension_numbers=dn,
-        feature_group_count=c,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -86,6 +96,20 @@ def compute_ssim(
     sigma1_sq = _depthwise_blur(x * x, win) - mu1_sq
     sigma2_sq = _depthwise_blur(y * y, win) - mu2_sq
     sigma12 = _depthwise_blur(x * y, win) - mu1_mu2
+
+    # In exact arithmetic sigma1_sq, sigma2_sq >= 0 and
+    # |sigma12| <= sqrt(sigma1_sq * sigma2_sq) (Cauchy-Schwarz), which
+    # is what bounds SSIM to [-1, 1].  The E[x^2]-E[x]^2 form loses
+    # those properties to float cancellation on large-magnitude inputs;
+    # projecting back onto them only ever corrects toward the exact
+    # value, is a no-op on well-conditioned inputs (the torch-parity
+    # pins in PARITY_METRICS.json are unchanged), and restores the
+    # mathematical range for any input
+    # (tests/test_metrics.py::test_ssim_bounded_*).
+    sigma1_sq = jnp.maximum(sigma1_sq, 0.0)
+    sigma2_sq = jnp.maximum(sigma2_sq, 0.0)
+    bound = jnp.sqrt(sigma1_sq * sigma2_sq)
+    sigma12 = jnp.clip(sigma12, -bound, bound)
 
     cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
     ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
