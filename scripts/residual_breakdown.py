@@ -161,27 +161,28 @@ def device_self_times(trace_dir):
     with gzip.open(path, "rt") as f:
         data = json.load(f)
     events = data["traceEvents"]
-    # find (pid, tid) pairs whose thread name says XLA Ops on a TPU pid
-    pid_name = {}
+    # find (pid, tid) pairs whose thread name says XLA Ops
     tid_name = {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_name[e["pid"]] = e["args"].get("name", "")
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             tid_name[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     op_tracks = {k for k, v in tid_name.items()
                  if "XLA Ops" in v or "Ops" == v.strip()}
-    tpu_pids = {p for p, v in pid_name.items()
-                if "TPU" in v or "tpu" in v.lower() or "Device" in v}
+    if not op_tracks:
+        # No unfiltered-pid fallback: summing every complete event on a
+        # TPU-ish pid double-counts nested/overlapping spans and step
+        # markers, silently skewing the attribution this script exists
+        # to produce (ADVICE r4). Fail loudly like the no-events case.
+        raise SystemExit(
+            f"no 'XLA Ops' thread track in {path}; refusing the "
+            f"unfiltered pid fallback (it double-counts nested spans). "
+            f"tracks={sorted(set(tid_name.values()))[:20]}")
     agg = defaultdict(float)
     n_evt = 0
     for e in events:
         if e.get("ph") != "X":
             continue
-        key = (e.get("pid"), e.get("tid"))
-        if op_tracks and key not in op_tracks:
-            continue
-        if not op_tracks and e.get("pid") not in tpu_pids:
+        if (e.get("pid"), e.get("tid")) not in op_tracks:
             continue
         agg[e["name"]] += e.get("dur", 0.0)
         n_evt += 1
@@ -189,7 +190,7 @@ def device_self_times(trace_dir):
         raise SystemExit(
             f"no XLA-op events found in {path}; "
             f"tracks={sorted(set(tid_name.values()))[:20]}")
-    print(f"trace: {n_evt} op events on {len(op_tracks) or len(tpu_pids)} "
+    print(f"trace: {n_evt} op events on {len(op_tracks)} "
           f"track(s) from {os.path.basename(path)}", file=sys.stderr)
     return agg
 

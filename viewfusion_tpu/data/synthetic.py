@@ -15,9 +15,11 @@ at different radii/phases with view-dependent occlusion ordering,
 Lambertian-style shading against a fixed light azimuth, and a smooth
 per-object gradient background.  Every pixel is a smooth function of a
 low-dimensional continuous latent (colors, phases, radii, sizes), so a
-small model generalizes to held-out objects and quality metrics have
-real headroom (LONGRUN_r04.json: held-out SSIM >= 0.5) — use this
-family for quality-bearing A/Bs (sampler tables, packed PSNR arms).
+small model generalizes to held-out objects and the metric ceiling sits
+above the stamped family's (measured: held-out SSIM peaks at 0.205 /
+PSNR 11.9 at it=4000 of the 20k-step EMA longrun,
+LONGRUN_r04_ema20k.json — vs ~0.14 for ``stamped``) — use this family
+for quality-bearing A/Bs (sampler tables, packed PSNR arms).
 """
 
 from __future__ import annotations
