@@ -84,7 +84,8 @@ def drive(service, concurrency: int, seconds: float, image_size: int,
     )
     latencies, errors = [], []
     lock = threading.Lock()
-    stop = time.perf_counter() + seconds
+    level_t0 = time.perf_counter()
+    stop = level_t0 + seconds
 
     def client(cid):
         i = 0
@@ -100,7 +101,12 @@ def drive(service, concurrency: int, seconds: float, image_size: int,
                                angle=0.1 * i, steps=steps)
                 dt = time.perf_counter() - t0
                 with lock:
-                    latencies.append((dt, steps is not None))
+                    # (latency, is_alt, completion offset into level) —
+                    # the offset locates tail requests in time: a p99
+                    # population clustered at offset~0 is a warmup ramp,
+                    # not a scheduling pathology (SERVE_r04 conc-8 p99)
+                    latencies.append((dt, steps is not None,
+                                      time.perf_counter() - level_t0))
             except Exception as e:  # noqa: BLE001
                 with lock:
                     errors.append(str(e))
@@ -155,6 +161,17 @@ def main():
             "alt_bucket_p50_ms": (round(float(np.percentile(alt_ms, 50)), 1)
                                   if alt_ms else None),
         }
+        # where in the level do the tail requests complete? (diagnoses
+        # the SERVE_r04 conc-8 p99 cliff: warmup ramp vs scheduling)
+        p99_cut = float(np.percentile(all_ms, 99))
+        tail_offsets = sorted(l[2] for l in lats if l[0] * 1e3 >= p99_cut)
+        if tail_offsets:
+            row["tail_completion_offset_s"] = {
+                "min": round(tail_offsets[0], 2),
+                "median": round(
+                    float(np.percentile(tail_offsets, 50)), 2),
+                "max": round(tail_offsets[-1], 2),
+            }
         main_ms = sorted(l[0] * 1e3 for l in lats if not l[1])
         if alt_ms and main_ms:
             # the fairness contract (oldest-head-first bucket pickup):
@@ -170,9 +187,12 @@ def main():
     result = {
         "what": ("closed-loop load test of ViewFusionService: dynamic "
                  "batching (batch 8, 10ms window), per-bucket warmup "
-                 "[8, 16] steps, 10% of ALL traffic on the 16-step "
-                 "bucket; scheduler serves the bucket whose head "
-                 "request waited longest (starvation fix, r4)"),
+                 "[8, 16] steps x3 dispatches (r5: post-compile ramp "
+                 "moved into warmup), 10% of ALL traffic on the "
+                 "16-step bucket; scheduler serves the bucket whose "
+                 "head request waited longest (starvation fix, r4); "
+                 "tail_completion_offset_s locates each level's p99 "
+                 "population in time"),
         "platform": jax.devices()[0].platform,
         "device": jax.devices()[0].device_kind,
         "model": f"tiny UNet {image_size}px (mechanism test; absolute "

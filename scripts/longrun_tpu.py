@@ -86,6 +86,14 @@ def main():
                     choices=["squares", "shaded"])
     ap.add_argument("--ema", type=float, default=0.0,
                     help="tpu.ema_decay (0 = off)")
+    ap.add_argument("--decay-it", type=int, default=0,
+                    help="LR decay horizon (0 = reference 4M-step "
+                         "schedule, i.e. effectively constant at peak "
+                         "over a 20k run); set ~= steps-warmup for a "
+                         "horizon-matched decay (VERDICT r4 item 3)")
+    ap.add_argument("--decay-rate", type=float, default=0.0,
+                    help="LR decay rate at the horizon (0 = reference "
+                         "0.16)")
     ap.add_argument("--eval-train-split", action="store_true",
                     help="log held-in ssim_train/psnr_train per gate")
     ap.add_argument("--root", default="/tmp/vf_longrun")
@@ -117,6 +125,10 @@ def main():
     raw["model"]["validate_every"] = args.validate_every
     if args.ema > 0:
         raw["tpu"]["ema_decay"] = args.ema
+    if args.decay_it > 0:
+        raw["tpu"]["decay_it"] = args.decay_it
+    if args.decay_rate > 0:
+        raw["tpu"]["decay_rate"] = args.decay_rate
     if args.eval_train_split:
         raw["tpu"]["eval_train_split"] = True
     for split, mode, size in (("train", "train", None),
@@ -126,7 +138,9 @@ def main():
         if size:
             p["size"] = size
         raw["data"]["params"][split] = {"params": p}
-    cfg_name = f"longrun-{args.family}" + ("-ema" if args.ema else "")
+    cfg_name = (f"longrun-{args.family}"
+                + (f"-ema{args.ema}" if args.ema else "")
+                + (f"-decay{args.decay_it}" if args.decay_it else ""))
     cfg_path = os.path.join(args.root, cfg_name + ".yaml")
     os.makedirs(args.root, exist_ok=True)
     with open(cfg_path, "w") as f:
@@ -171,6 +185,8 @@ def main():
         "device": None,
         "family": args.family,
         "ema_decay": args.ema,
+        "decay_it": args.decay_it or 4_000_000,
+        "decay_rate": args.decay_rate or 0.16,
         "eval_train_split": bool(args.eval_train_split),
         "steps": last_it,
         "wall_seconds": round(wall, 1),

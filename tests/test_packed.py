@@ -306,3 +306,37 @@ def test_packed_loss_equals_dense_relative_mode(tiny_config, rng):
     packed = model.loss_packed(params, key, y0, cond, jnp.asarray(vc),
                                angle, jnp.asarray(si), jnp.asarray(vi))
     np.testing.assert_allclose(float(dense), float(packed), rtol=1e-5)
+
+
+def test_pack_barrier_identical(tiny_config, rng, monkeypatch):
+    """VF_PACK_BARRIER=1 (optimization_barrier on the packed UNet input,
+    an XLA fusion hint) must leave loss AND gradients bit-meaningfully
+    identical — the barrier is semantically the identity."""
+    model = ViewFusion.from_config(tiny_config)
+    b, n, hw = 4, 3, 8
+    y0 = jnp.asarray(rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32))
+    cond = jnp.asarray(rng.uniform(0, 1, (b, n, hw, hw, 3)).astype(
+        np.float32))
+    vc = np.array([1, 3, 2, 3])
+    angle = jnp.asarray(rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), cond, y0)
+    key = jax.random.PRNGKey(11)
+    si, vi = _packed_indices(vc)
+
+    def run():
+        loss, grads = jax.value_and_grad(
+            lambda p: model.loss_packed(p, key, y0, cond, jnp.asarray(vc),
+                                        angle, jnp.asarray(si),
+                                        jnp.asarray(vi))
+        )(params)
+        return float(loss), grads
+
+    monkeypatch.delenv("VF_PACK_BARRIER", raising=False)
+    loss_off, g_off = run()
+    monkeypatch.setenv("VF_PACK_BARRIER", "1")
+    loss_on, g_on = run()
+    np.testing.assert_allclose(loss_on, loss_off, rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_off),
+                     jax.tree_util.tree_leaves(g_on)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-7)

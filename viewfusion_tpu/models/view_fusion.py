@@ -59,6 +59,14 @@ def view_mask(view_count: jnp.ndarray, n_max: int) -> jnp.ndarray:
     return jnp.arange(n_max)[None, :] < view_count[:, None]
 
 
+def _pack_barrier() -> bool:
+    """Trace-time knob: materialize the packed UNet input behind an
+    optimization barrier (see the packed branch of _denoise_views)."""
+    import os
+
+    return os.environ.get("VF_PACK_BARRIER", "0") == "1"
+
+
 @dataclass(frozen=True)
 class ViewFusion:
     """Functional ViewFusion model.
@@ -165,6 +173,17 @@ class ViewFusion:
             x = jnp.concatenate(
                 [cond_rows, y_target[sample_idx]], axis=-1
             )
+            if _pack_barrier():
+                # Pin the packed input: without this, XLA duplicates the
+                # y_target row-gather into ~13-16 consumer fusions of x
+                # (RESIDUAL_r04.json: >=13.4 ms/step of identical
+                # bf16[98,64,64,3] gather fusions, each 0.6-1.2 ms).
+                # The barrier materializes x once; its linear transpose
+                # keeps the vjp exact.  Off by default until the on-chip
+                # A/B (scripts/ab_step_env.py --knob VF_PACK_BARRIER)
+                # shows a win — set VF_PACK_BARRIER=1 BEFORE process
+                # start (read at trace time).
+                x = jax.lax.optimization_barrier(x)
             out_rows = self.denoise_fn.apply(
                 params, x, angle[sample_idx], noise_level[sample_idx],
                 deterministic=deterministic, **kwargs,

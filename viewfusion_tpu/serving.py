@@ -181,13 +181,22 @@ class ViewFusionService:
                     f"warmup steps must be in [1, {self.max_steps}], "
                     f"got {steps}"
                 )
-            out = fn(
-                self.params, self._jax.random.PRNGKey(0),
-                jnp.zeros((b, self.n_max, hw, hw, 3), jnp.float32),
-                jnp.ones((b,), jnp.int32), jnp.zeros((b,), jnp.float32),
-                num_steps=steps,
-            )
-            self._jax.block_until_ready(out)
+            # 3 dispatches, not 1: the first few dispatches after a
+            # fresh compile run far below steady state (bench.py
+            # measures 2-8 steps/s vs 10.4 for the train step; for
+            # serving this surfaced as SERVE_r04's p99=1087ms at the
+            # FIRST load level vs 150ms at the second — the ramp, not
+            # scheduling).  Extra warmup dispatches move that cost to
+            # warmup() where it belongs.
+            for _ in range(3):
+                out = fn(
+                    self.params, self._jax.random.PRNGKey(0),
+                    jnp.zeros((b, self.n_max, hw, hw, 3), jnp.float32),
+                    jnp.ones((b,), jnp.int32),
+                    jnp.zeros((b,), jnp.float32),
+                    num_steps=steps,
+                )
+                self._jax.block_until_ready(out)
             self.warmed_steps.append((steps, sampler))
 
     def _sampler_fn(self, sampler: str):
