@@ -65,6 +65,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip-step", action="store_true")
+    ap.add_argument("--top", type=int, default=6,
+                    help="isolate only the N heaviest GN shapes (each "
+                         "shape costs 4 chained-op compiles; the "
+                         "decisive default-setting number is the "
+                         "step-level A/B, per-shape rows are "
+                         "diagnostics)")
     args = ap.parse_args()
 
     import bench
@@ -85,6 +91,12 @@ def main():
     gn_shapes = sorted(
         ((sig[1], e["count"]) for sig, e in cats["gn_bwd"].items()),
         key=lambda t: -t[0][1] * t[0][2] * t[1])
+    dropped = gn_shapes[args.top:]
+    if dropped:
+        print(f"isolating top {args.top} of {len(gn_shapes)} shapes; "
+              f"dropped (by bytes*count): {[list(s) for s, _ in dropped]}",
+              file=sys.stderr)
+        gn_shapes = gn_shapes[: args.top]
     del os.environ["VF_GN_IMPL"]
 
     dev = jax.devices()[0]

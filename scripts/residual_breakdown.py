@@ -203,6 +203,10 @@ def main():
     ap.add_argument("--outdir", default="/tmp/vf_residual_trace")
     ap.add_argument("--out", default="RESIDUAL_r04.json")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--all-rows", action="store_true",
+                    help="write EVERY instruction row to the artifact "
+                         "(needed by scripts/reconcile_ledger.py's "
+                         "per-shape conv join)")
     ap.add_argument("--dump-hlo", default=None,
                     help="write the compiled HLO text here")
     ap.add_argument("--hlo-only", action="store_true",
@@ -269,6 +273,14 @@ def main():
     per_iter = {k: v / args.iters for k, v in agg.items()}
     total_ms = sum(per_iter.values()) / 1e3
 
+    # Pallas kernels appear on the XLA-op track under their own kernel
+    # names (GroupNorm_0, _bwd_kernel, flash attention names, ...), not
+    # the HLO %pallas_call instruction name — map them explicitly
+    # instead of letting them land in "unmatched" (r4: 17.6 ms of
+    # "unmatched" was mostly these).
+    _PALLAS_PREFIXES = ("GroupNorm", "gn_", "_fwd_kernel", "_bwd_kernel",
+                        "attention", "flash", "wgrad")
+
     cats = defaultdict(float)
     rows = []
     unmatched = 0.0
@@ -278,8 +290,12 @@ def main():
             base = name.split(".")[0]
             info = instrs.get(base)
         if info is None:
-            cat = "unmatched"
-            unmatched += us
+            if any(name.startswith(p) or base.startswith(p)
+                   for p in _PALLAS_PREFIXES):
+                cat = "custom_call(pallas)"
+            else:
+                cat = "unmatched"
+                unmatched += us
             sig = {}
             line = ""
         else:
@@ -305,7 +321,7 @@ def main():
         "categories_ms": {k: round(v / 1e3, 4)
                           for k, v in sorted(cats.items(),
                                              key=lambda kv: -kv[1])},
-        "top_ops": rows[:args.top],
+        "top_ops": rows if args.all_rows else rows[:args.top],
         "method": ("perfetto trace XLA-op track summed per instruction "
                    "over N iters; each instruction classified from the "
                    "compiled HLO fusion body opcodes"),
