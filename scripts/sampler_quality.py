@@ -13,9 +13,20 @@ reference chain runs as 8 short dispatches under this rig's ~73 s
 per-execution kill, bit-identical to one generate() call
 (test_segmented_eval_matches_unsegmented).
 
+Round 5 (VERDICT r4 item 6): per-setting error bars.  ``--seeds``
+re-runs each setting with different eval sampling keys (tpu.seed feeds
+trainer._eval_pass's PRNGKey(seed+17) and the generation prologue's
+PRNGKey(seed+23)); ``--test-data-dir`` points the eval at a larger
+freshly-rendered test split than the training run used; the artifact
+then reports mean +- (max-min)/2 per setting so sampler deltas can be
+read against seed noise.  ``--settings`` restricts the sweep.
+
 Usage:
   python scripts/sampler_quality.py /tmp/vf_longrun/work/logs/<run> \
       --out SAMPLER_QUALITY_r04.json
+  python scripts/sampler_quality.py <run> --seeds 0,1,2 --test-size 256 \
+      --test-data-dir /tmp/vf_eval_data --settings \
+      ancestral-2000,ddim-250,dpm-50,dpm_sde-50 --out SAMPLER_QUALITY_r05.json
 """
 
 import argparse
@@ -46,12 +57,14 @@ SETTINGS = [
 ]
 
 
-def run_eval(src_run, workdir, sampler, steps, test_size):
+def run_eval(src_run, workdir, sampler, steps, test_size, seed=0,
+             test_data_dir=None):
     """Copy the run dir, patch sampler config, run `-e`, parse metrics."""
-    run = os.path.join(workdir, f"{sampler}-{steps}")
+    run = os.path.join(workdir, f"{sampler}-{steps}-s{seed}")
     row_cache = os.path.join(run, "row.json")
     cache_key = {"src_run": os.path.abspath(src_run),
-                 "test_size": test_size}
+                 "test_size": test_size, "seed": seed,
+                 "test_data_dir": test_data_dir}
     if os.path.exists(row_cache):
         cached = json.load(open(row_cache))
         # rows cached for a DIFFERENT checkpoint or test size must not
@@ -80,6 +93,10 @@ def run_eval(src_run, workdir, sampler, steps, test_size):
         tpu["ddim_steps"] = steps
         tpu["ddim_eta"] = 0.0 if sampler == "ddim0" else 1.0
     cfg["data"]["params"]["test"]["params"]["size"] = test_size
+    if test_data_dir:
+        cfg["data"]["params"]["test"]["params"]["path"] = test_data_dir
+    if seed:
+        tpu["seed"] = seed
     yaml.dump(cfg, open(cfg_path, "w"))
 
     metrics = os.path.join(run, "metrics.jsonl")
@@ -89,7 +106,7 @@ def run_eval(src_run, workdir, sampler, steps, test_size):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "main.py"), "-s", run + "/",
          "-e"],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=7200,
     )
     wall = time.time() - t0
     if proc.returncode != 0:
@@ -125,15 +142,46 @@ def main():
     ap.add_argument("--out", default="SAMPLER_QUALITY.json")
     ap.add_argument("--test-size", type=int, default=56)
     ap.add_argument("--workdir", default="/tmp/vf_sampler_quality")
+    ap.add_argument("--seeds", default="0",
+                    help="comma list; >1 adds mean+-spread per setting")
+    ap.add_argument("--settings", default=None,
+                    help="comma list like ancestral-2000,dpm_sde-50 "
+                         "(default: the full table)")
+    ap.add_argument("--test-data-dir", default=None,
+                    help="shard dir for the eval test split (e.g. a "
+                         "larger freshly-rendered set)")
     args = ap.parse_args()
 
+    seeds = [int(s) for s in args.seeds.split(",")]
+    settings = SETTINGS
+    if args.settings:
+        settings = []
+        for tok in args.settings.split(","):
+            name, steps = tok.rsplit("-", 1)
+            settings.append((name, int(steps)))
+
     os.makedirs(args.workdir, exist_ok=True)
-    rows = []
-    for sampler, steps in SETTINGS:
-        row = run_eval(args.run_dir, args.workdir, sampler, steps,
-                       args.test_size)
-        print(row, flush=True)
-        rows.append(row)
+    rows, summary = [], []
+    for sampler, steps in settings:
+        per_seed = []
+        for seed in seeds:
+            row = run_eval(args.run_dir, args.workdir, sampler, steps,
+                           args.test_size, seed=seed,
+                           test_data_dir=args.test_data_dir)
+            print(row, flush=True)
+            rows.append(row)
+            per_seed.append(row)
+        if len(seeds) > 1:
+            ps = [r["psnr"] for r in per_seed]
+            ss = [r["ssim"] for r in per_seed]
+            summary.append({
+                "sampler": sampler, "steps": steps, "n_seeds": len(seeds),
+                "psnr_mean": round(sum(ps) / len(ps), 3),
+                "psnr_spread": round((max(ps) - min(ps)) / 2, 3),
+                "ssim_mean": round(sum(ss) / len(ss), 4),
+                "ssim_spread": round((max(ss) - min(ss)) / 2, 4),
+            })
+            print(summary[-1], flush=True)
 
     out = {
         "what": ("eval PSNR/SSIM per (sampler, steps) on one trained "
@@ -141,6 +189,8 @@ def main():
                  "wall includes per-setting jit compile"),
         "src_run": os.path.abspath(args.run_dir),
         "test_size": args.test_size,
+        "seeds": seeds,
+        "test_data_dir": args.test_data_dir,
         "note": ("checkpoint is the run dir's best_model_all (quality-"
                  "gated peak of the training run) on synthetic NMR-"
                  "format data — absolute PSNR is synthetic-bounded; the "
@@ -148,6 +198,8 @@ def main():
                  "measurement"),
         "rows": rows,
     }
+    if summary:
+        out["summary"] = summary
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {args.out}")

@@ -184,3 +184,42 @@ def test_segmented_chain_matches_generate(tiny_config, rng):
                                       np.asarray(out.ret_arr))
         np.testing.assert_array_equal(np.asarray(ref.weight_arr),
                                       np.asarray(out.weight_arr))
+
+
+def test_chain_bf16_knob_is_bit_identical(tiny_config, rng, monkeypatch):
+    """VF_CHAIN_BF16 moves the model-dtype cast from the UNet entry
+    (unet.py: x.astype(self.dtype)) to BEFORE the per-view
+    gather/concat — the UNet must see bit-identical inputs, so the
+    whole chain (and the packed path) must be bit-identical.  Traced
+    fresh per call (no jit here), so the trace-time env read is exact."""
+    model = ViewFusion.from_config(tiny_config, dtype=jnp.bfloat16)
+    assert model.denoise_fn.dtype == jnp.bfloat16  # knob is a no-op otherwise
+    b, n, hw = 2, 3, 8
+    y0 = jnp.asarray(rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32))
+    cond = jnp.asarray(rng.uniform(0, 1, (b, n, hw, hw, 3)).astype(np.float32))
+    vc = jnp.asarray(np.array([1, 3], np.int32))
+    angle = jnp.asarray(rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), cond, y0)
+    key = jax.random.PRNGKey(7)
+
+    sample_idx = jnp.asarray(np.array([0, 1, 1, 1], np.int32))
+    view_idx = jnp.asarray(np.array([0, 0, 1, 2], np.int32))
+
+    monkeypatch.setenv("VF_CHAIN_BF16", "0")
+    ref = model.generate(params, key, cond, vc, angle, sample_num=4)
+    ref_ddim = model.generate_ddim(params, key, cond, vc, angle, num_steps=4)
+    ref_packed = model.generate(params, key, cond, vc, angle, sample_num=4,
+                                packed_idx=(sample_idx, view_idx))
+
+    monkeypatch.setenv("VF_CHAIN_BF16", "1")
+    out = model.generate(params, key, cond, vc, angle, sample_num=4)
+    out_ddim = model.generate_ddim(params, key, cond, vc, angle, num_steps=4)
+    out_packed = model.generate(params, key, cond, vc, angle, sample_num=4,
+                                packed_idx=(sample_idx, view_idx))
+
+    np.testing.assert_array_equal(np.asarray(ref.y_t), np.asarray(out.y_t))
+    np.testing.assert_array_equal(np.asarray(ref.ret_arr),
+                                  np.asarray(out.ret_arr))
+    np.testing.assert_array_equal(np.asarray(ref_ddim), np.asarray(out_ddim))
+    np.testing.assert_array_equal(np.asarray(ref_packed.y_t),
+                                  np.asarray(out_packed.y_t))

@@ -67,6 +67,24 @@ def _pack_barrier() -> bool:
     return os.environ.get("VF_PACK_BARRIER", "0") == "1"
 
 
+def _chain_bf16() -> bool:
+    """Trace-time knob: cast the UNet's image inputs (y_cond + noisy
+    target) to the model compute dtype BEFORE the per-view gather/concat
+    instead of at the first conv.  The UNet sees bit-identical values
+    (flax casts its op inputs to ``dtype`` anyway); what changes is the
+    HBM traffic of the gather/broadcast/concat feeding it — at bf16 it
+    is half the bytes, which matters inside a T-step sampling scan that
+    re-reads y_cond every step.  Posterior arithmetic (y_0_hat, mean,
+    clamp) stays float32: bf16 cancellation there is exactly the
+    SSIM=-2.11 failure mode root-caused in round 5 (ops/metrics.py).
+    Off by default until the on-chip A/B (scripts/chain_ledger.py /
+    ab_step_env.py --knob VF_CHAIN_BF16); read at trace time — set
+    before process start."""
+    import os
+
+    return os.environ.get("VF_CHAIN_BF16", "0") == "1"
+
+
 @dataclass(frozen=True)
 class ViewFusion:
     """Functional ViewFusion model.
@@ -166,6 +184,15 @@ class ViewFusion:
         kwargs = {}
         if rngs is not None:
             kwargs["rngs"] = rngs
+
+        if _chain_bf16():
+            # cast before gather/concat: same values reach the first
+            # conv (which casts to self.denoise_fn.dtype regardless),
+            # half the bytes through the view-assembly ops
+            net_dtype = getattr(self.denoise_fn, "dtype", None)
+            if net_dtype is not None and net_dtype != jnp.float32:
+                y_cond = y_cond.astype(net_dtype)
+                y_target = y_target.astype(net_dtype)
 
         if packed_idx is not None:
             sample_idx, view_idx = packed_idx
