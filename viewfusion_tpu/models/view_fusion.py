@@ -206,10 +206,14 @@ class ViewFusion:
                 # (RESIDUAL_r04.json: >=13.4 ms/step of identical
                 # bf16[98,64,64,3] gather fusions, each 0.6-1.2 ms).
                 # The barrier materializes x once; its linear transpose
-                # keeps the vjp exact.  Off by default until the on-chip
-                # A/B (scripts/ab_step_env.py --knob VF_PACK_BARRIER)
-                # shows a win — set VF_PACK_BARRIER=1 BEFORE process
-                # start (read at trace time).
+                # keeps the vjp exact.  Measured on-chip
+                # (PACK_BARRIER_AB_r05.json, fresh process per variant):
+                # 1.0014x — within restart noise.  The duplicated gather
+                # fusions are bandwidth the step was already paying
+                # elsewhere; materializing x trades gather time for an
+                # extra HBM round-trip of the same bytes.  Stays off by
+                # default; set VF_PACK_BARRIER=1 BEFORE process start
+                # (read at trace time) to re-measure on other topologies.
                 x = jax.lax.optimization_barrier(x)
             out_rows = self.denoise_fn.apply(
                 params, x, angle[sample_idx], noise_level[sample_idx],
