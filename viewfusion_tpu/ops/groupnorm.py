@@ -153,7 +153,10 @@ def _fwd_kernel_v2(x_ref, scale_ref, bias_ref, y_ref, mean_ref, rstd_ref,
     feeding both the statistics and the normalize+activation, ONE write
     of y.  The XLA hybrid forward reads x twice (stats pass + normalize
     pass); whether the saved read beats the lost producer fusion is an
-    empirical question settled by scripts/ab_gn_fwd.py."""
+    empirical question settled by scripts/ab_gn_fwd.py — measured on
+    chip (GN_FWD_AB_r05.json): v2 wins at every flagship GN shape,
+    1.02-1.75x per shape, 1.15x count-weighted, which is why v2 is the
+    VF_GN_FWD default."""
     bs, l, c = x_ref.shape
     m_cg, m_gc = _group_onehots(c, groups, c_logical)
     n = float(l * (c // groups))
