@@ -16,6 +16,13 @@ Writes RESIDUAL_rNN.json: per-category in-context milliseconds summing
 to the traced step time, plus the top-N individual ops with their
 opcode signatures for auditability.
 
+``--program chain`` applies the same attribution to the reverse-
+sampling scan segment (the chain_ledger/bench_chain_scaling program):
+a lax.scan of p_sample steps is traced and every category is reported
+PER CHAIN STEP — this is what attributes CHAIN_LEDGER_r05.json's
+isolation residual in context (scan-body ops live in the while-body
+computation, which parse_hlo indexes alongside the entry).
+
 Reference scope: attributes the same training update the ledger
 accounts (view_fusion.py:131-142 + experiment.py:218-256 of the
 reference, one optimizer step).
@@ -46,17 +53,25 @@ _FUSION_KIND_RE = re.compile(r"kind=(\w+)")
 
 
 def parse_hlo(text):
-    """name -> dict(opcode, kind, body_opcodes, line) for every top-level
-    instruction of the entry computation, plus computation -> opcode
-    multiset for fusion bodies."""
+    """name -> dict(opcode, kind, body_opcodes, line) for every
+    instruction of every computation (device-executed thunks live in
+    the entry AND in control-flow bodies — a lax.scan's per-step ops
+    are instructions of the while-body computation), plus
+    computation -> opcode multiset for fusion bodies.  Entry
+    instructions win on (rare) cross-computation name collisions."""
     comp_ops = {}       # computation name -> {opcode: count}
     cur = None
     instr = {}
     entry = None
     for line in text.splitlines():
         s = line.strip()
-        m = re.match(r"(?:ENTRY\s+)?%?([\w.-]+)\s+\([^)]*\)\s*->", s)
-        if m and s.endswith("{"):
+        # computation header: "name (params...) -> type {".  The param
+        # list may contain nested parens (tuple-typed params, e.g. a
+        # while-body carry), so don't try to span it with a regex —
+        # require name + "(" and the "->"/"{" markers instead.
+        m = re.match(r"(?:ENTRY\s+)?%?([\w.-]+)\s+\(", s)
+        if m and "=" not in s.split("(", 1)[0] and "->" in s \
+                and s.endswith("{"):
             cur = m.group(1)
             comp_ops[cur] = defaultdict(int)
             if s.startswith("ENTRY"):
@@ -75,17 +90,21 @@ def parse_hlo(text):
         name = s.split("=", 1)[0].strip().lstrip("%").strip()
         instr.setdefault(cur, {})[name] = (opcode, s)
     out = {}
-    for name, (opcode, line) in instr.get(entry, {}).items():
-        body = {}
-        kind = ""
-        if opcode == "fusion":
-            cm = _CALLS_RE.search(line)
-            if cm and cm.group(1) in comp_ops:
-                body = dict(comp_ops[cm.group(1)])
-            km = _FUSION_KIND_RE.search(line)
-            kind = km.group(1) if km else ""
-        out[name] = {"opcode": opcode, "kind": kind, "body": body,
-                     "line": line[:240]}
+    comps = [c for c in instr if c != entry]
+    if entry is not None:
+        comps.append(entry)  # last: entry wins collisions
+    for comp in comps:
+        for name, (opcode, line) in instr[comp].items():
+            body = {}
+            kind = ""
+            if opcode == "fusion":
+                cm = _CALLS_RE.search(line)
+                if cm and cm.group(1) in comp_ops:
+                    body = dict(comp_ops[cm.group(1)])
+                km = _FUSION_KIND_RE.search(line)
+                kind = km.group(1) if km else ""
+            out[name] = {"opcode": opcode, "kind": kind, "body": body,
+                         "line": line[:240]}
     return out
 
 
@@ -200,6 +219,20 @@ def device_self_times(trace_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--program", choices=("train", "chain"),
+                    default="train",
+                    help="train: the flagship packed train step (the "
+                         "bench_mfu_ledger program). chain: a lax.scan "
+                         "segment of ancestral p_sample steps (the "
+                         "chain_ledger/bench_chain_scaling scan body) — "
+                         "per-category times are reported PER CHAIN "
+                         "STEP (divided by --seg-len)")
+    ap.add_argument("--seg-len", type=int, default=250,
+                    help="chain program: scan steps per segment")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="chain program: sample batch")
+    ap.add_argument("--timesteps", type=int, default=2000,
+                    help="chain program: schedule length")
     ap.add_argument("--outdir", default="/tmp/vf_residual_trace")
     ap.add_argument("--out", default="RESIDUAL_r04.json")
     ap.add_argument("--top", type=int, default=40)
@@ -218,23 +251,69 @@ def main():
     from viewfusion_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    import bench_mfu_ledger as ledger
-
-    train_step, shapes, tx, call_args = ledger.build_train_step()
     import jax.numpy as jnp
-
-    # same param-init discipline as ledger.measure_step_seconds
-    params = jax.jit(lambda k: jax.tree_util.tree_map(
-        lambda s: jax.random.normal(k, s.shape, s.dtype) * 0.02
-        if s.dtype.name.startswith(("float", "bfloat")) else
-        jnp.zeros(s.shape, s.dtype), shapes))(jax.random.PRNGKey(1))
-    opt_state = jax.jit(tx.init)(params)
 
     import time
 
-    jit_step = jax.jit(train_step, donate_argnums=(0, 1))
+    # per_step_div: trace-event sums are divided by (iters * per_step_div)
+    # so categories are always per LOGICAL step (train step / chain step).
+    if args.program == "train":
+        import bench_mfu_ledger as ledger
+
+        train_step, shapes, tx, call_args = ledger.build_train_step()
+
+        # same param-init discipline as ledger.measure_step_seconds
+        params = jax.jit(lambda k: jax.tree_util.tree_map(
+            lambda s: jax.random.normal(k, s.shape, s.dtype) * 0.02
+            if s.dtype.name.startswith(("float", "bfloat")) else
+            jnp.zeros(s.shape, s.dtype), shapes))(jax.random.PRNGKey(1))
+        opt_state = jax.jit(tx.init)(params)
+        jit_fn = jax.jit(train_step, donate_argnums=(0, 1))
+        lower_args = (params, opt_state)
+        per_step_div = 1
+
+        def make_runner(compiled):
+            state = [params, opt_state]
+
+            def run():
+                state[0], state[1], loss = compiled(*state, **call_args)
+                return loss
+
+            return run
+    else:
+        from chain_ledger import build_chain_step
+
+        model, params, step, dims = build_chain_step(args.batch,
+                                                     args.timesteps)
+        b, hw = dims["batch"], dims["hw"]
+
+        def seg(params, y_t, key, ts):
+            def body(carry, t):
+                y_t, k = carry
+                y_t, k = step(params, y_t, k, t)
+                return (y_t, k), None
+
+            (y_t, key), _ = jax.lax.scan(body, (y_t, key), ts)
+            return y_t, key
+
+        ts0 = jnp.arange(args.timesteps - 1,
+                         args.timesteps - 1 - args.seg_len, -1)
+        key0 = jax.random.PRNGKey(7)
+        y0 = jax.random.normal(key0, (b, hw, hw, 3), jnp.float32)
+        call_args = {}
+        jit_fn = jax.jit(seg)
+        lower_args = (params, y0, key0, ts0)
+        per_step_div = args.seg_len
+
+        def make_runner(compiled):
+            def run():
+                y, k = compiled(params, y0, key0, ts0)
+                return y
+
+            return run
+
     t0 = time.perf_counter()
-    lowered = jit_step.lower(params, opt_state, **call_args)
+    lowered = jit_fn.lower(*lower_args, **call_args)
     print(f"lowered in {time.perf_counter() - t0:.1f}s", file=sys.stderr,
           flush=True)
     t0 = time.perf_counter()
@@ -247,30 +326,33 @@ def main():
             f.write(hlo)
         print(f"HLO text -> {args.dump_hlo}", file=sys.stderr, flush=True)
     instrs = parse_hlo(hlo)
-    print(f"HLO: {len(instrs)} entry instructions", file=sys.stderr,
-          flush=True)
+    print(f"HLO: {len(instrs)} instructions indexed (all computations)",
+          file=sys.stderr, flush=True)
     if args.hlo_only:
         return
 
-    p, o = params, opt_state
-    p, o, l = compiled(p, o, **call_args)
-    jax.block_until_ready(l)
+    run = make_runner(compiled)
+    n_warm = 30 if args.program == "train" else 2
+    n_trace = args.iters if args.program == "train" else max(
+        1, min(args.iters, 3))
+    out_val = run()
+    jax.block_until_ready(out_val)
     t0 = time.perf_counter()
-    for _ in range(30):
-        p, o, l = compiled(p, o, **call_args)
-    jax.block_until_ready(l)
-    step_ms = (time.perf_counter() - t0) / 30 * 1e3
+    for _ in range(n_warm):
+        out_val = run()
+    jax.block_until_ready(out_val)
+    step_ms = (time.perf_counter() - t0) / n_warm / per_step_div * 1e3
     print(f"measured step: {step_ms:.2f} ms", file=sys.stderr, flush=True)
 
     os.makedirs(args.outdir, exist_ok=True)
     jax.profiler.start_trace(args.outdir)
-    for _ in range(args.iters):
-        p, o, l = compiled(p, o, **call_args)
-    jax.block_until_ready(l)
+    for _ in range(n_trace):
+        out_val = run()
+    jax.block_until_ready(out_val)
     jax.profiler.stop_trace()
 
     agg = device_self_times(args.outdir)
-    per_iter = {k: v / args.iters for k, v in agg.items()}
+    per_iter = {k: v / (n_trace * per_step_div) for k, v in agg.items()}
     total_ms = sum(per_iter.values()) / 1e3
 
     # Pallas kernels appear on the XLA-op track under their own kernel
@@ -284,11 +366,24 @@ def main():
     cats = defaultdict(float)
     rows = []
     unmatched = 0.0
+    excluded_wrapper_us = 0.0
     for name, us in per_iter.items():
         info = instrs.get(name)
         if info is None:
             base = name.split(".")[0]
             info = instrs.get(base)
+        # control-flow wrapper spans cover their body ops, which the
+        # trace also reports individually — summing both double-counts
+        # the entire loop (seen: a scan's `while` span = 100% of the
+        # segment). Exclude the wrapper, keep the children.
+        if info is not None and info["opcode"] in ("while", "conditional",
+                                                   "call"):
+            excluded_wrapper_us += us
+            continue
+        if info is None and name.split(".")[0] in ("while", "conditional",
+                                                   "call"):
+            excluded_wrapper_us += us
+            continue
         if info is None:
             if any(name.startswith(p) or base.startswith(p)
                    for p in _PALLAS_PREFIXES):
@@ -307,6 +402,7 @@ def main():
                      "opcodes": sig, "hlo": line[:200]})
     rows.sort(key=lambda r: -r["ms"])
 
+    total_ms -= excluded_wrapper_us / 1e3  # wrapper spans double-count
     print(f"\ntraced device time/iter: {total_ms:.2f} ms "
           f"(measured step {step_ms:.2f} ms)")
     print(f"{'category':26s} {'ms':>8s} {'%':>6s}")
@@ -315,9 +411,15 @@ def main():
 
     out = {
         "device": jax.devices()[0].device_kind,
-        "iters": args.iters,
+        "program": args.program,
+        "iters": n_trace,
+        **({"seg_len": args.seg_len, "batch": args.batch,
+            "timesteps": args.timesteps}
+           if args.program == "chain" else {}),
         "measured_step_ms": round(step_ms, 3),
         "traced_device_ms_per_iter": round(total_ms, 3),
+        "excluded_control_flow_wrapper_ms": round(
+            excluded_wrapper_us / 1e3, 4),
         "categories_ms": {k: round(v / 1e3, 4)
                           for k, v in sorted(cats.items(),
                                              key=lambda kv: -kv[1])},
