@@ -48,6 +48,14 @@ def main():
     ap.add_argument("--merge-into", default=None,
                     help="also write rows into this JSON under "
                     "'batch_scaling'")
+    ap.add_argument("--rng-impl", default="threefry",
+                    choices=("threefry", "rbg"),
+                    help="key impl for every key the chain threads: "
+                    "threefry (default; counter-based software PRNG, "
+                    "bit-compatible with all prior artifacts) or rbg "
+                    "(XLA RngBitGenerator — the hardware-path "
+                    "generator; different stream, same distribution). "
+                    "A/B knob for the chain-residual RNG share.")
     args = ap.parse_args()
 
     import jax
@@ -60,6 +68,11 @@ def main():
     # caller's JAX_PLATFORMS (CPU smoke runs must not touch the chip)
     _honor_platform_env()
     enable_compilation_cache()
+
+    def mk_key(seed):
+        if args.rng_impl == "threefry":
+            return jax.random.PRNGKey(seed)
+        return jax.random.key(seed, impl=args.rng_impl)
 
     from bench import FLAGSHIP
     from viewfusion_tpu.config import Config
@@ -116,7 +129,7 @@ def main():
 
         # marginal slope: short vs one-segment-length scans
         def timed(length):
-            key = jax.random.PRNGKey(7)
+            key = mk_key(7)
             y, _ = run_len(length, T - 1, key)  # warm (compile/cache)
             float(jnp.sum(y[0, 0, 0]))
             best = float("inf")
@@ -136,7 +149,7 @@ def main():
         # sync after each segment keeps every execution under the rig's
         # per-execution limit)
         ts_all = np.arange(T - 1, -1, -1).reshape(nseg, seg_len)
-        key = jax.random.PRNGKey(11)
+        key = mk_key(11)
         key, sub = jax.random.split(key)
         y_t = jax.random.normal(sub, (b, hw, hw, 3), jnp.float32)
         t0 = time.perf_counter()
@@ -169,11 +182,11 @@ def main():
     angle = jnp.zeros((b,), jnp.float32)
     gen = jax.jit(lambda p, k: model.generate(p, k, cond, vc, angle,
                                               sample_num=8))
-    out = gen(params, jax.random.PRNGKey(1))
+    out = gen(params, mk_key(1))
     jax.block_until_ready(out.y_t)
     t0 = time.perf_counter()
     for i in range(2):
-        out = gen(params, jax.random.PRNGKey(2 + i))
+        out = gen(params, mk_key(2 + i))
     jax.block_until_ready(out.y_t)
     mono_dt = (time.perf_counter() - t0) / 2
     mono = {
@@ -191,6 +204,7 @@ def main():
         "device": dev.device_kind,
         "timesteps": T,
         "segments": nseg,
+        "rng_impl": args.rng_impl,
         "rows": rows_out,
         "monolithic_capture_batch8": mono,
         "rows_per_sec_max_over_min": round(flat, 3),
