@@ -6,6 +6,7 @@ is JAX's), -t/--train, -e/--eval, -r/--resume, --wandb, -i/--inference,
 from __future__ import annotations
 
 import argparse
+import io
 
 
 def get_arg_parser() -> argparse.ArgumentParser:
@@ -47,10 +48,29 @@ def _honor_platform_env() -> None:
         jax.config.update("jax_platforms", want)
 
 
+def _enable_hang_diagnostics() -> None:
+    """SIGUSR1 dumps every thread's Python stack to stderr.
+
+    Long runs on a tunneled accelerator can wedge host-side (observed:
+    an eval blocked ~30 min in a futex with near-zero CPU).  With no
+    py-spy/gdb in the image, stdlib faulthandler is the diagnostic:
+    ``kill -USR1 <pid>`` prints all stacks without killing the run.
+    """
+    import faulthandler
+    import signal
+
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True,
+                              chain=True)
+    except (AttributeError, ValueError, io.UnsupportedOperation):
+        pass  # non-main thread, no SIGUSR1 (windows), or no real stderr
+
+
 def main(args=None) -> None:
     if args is None:
         args = get_arg_parser().parse_args()
 
+    _enable_hang_diagnostics()
     _honor_platform_env()
     from viewfusion_tpu.parallel.mesh import initialize_distributed
     from viewfusion_tpu.training.trainer import Experiment
