@@ -60,8 +60,11 @@ def _enable_hang_diagnostics() -> None:
     import signal
 
     try:
+        # chain=False: chaining would re-invoke the prior disposition,
+        # and for SIG_DFL that terminates the process after the dump
+        # (observed killing a live server) — the opposite of the point.
         faulthandler.register(signal.SIGUSR1, all_threads=True,
-                              chain=True)
+                              chain=False)
     except (AttributeError, ValueError, io.UnsupportedOperation):
         pass  # non-main thread, no SIGUSR1 (windows), or no real stderr
 

@@ -461,6 +461,9 @@ def serve(run_dir: str, host: str = "0.0.0.0", port: int = 8000,
 
 
 def main(argv=None) -> None:
+    from viewfusion_tpu.cli import _enable_hang_diagnostics
+
+    _enable_hang_diagnostics()
     p = argparse.ArgumentParser()
     p.add_argument("-s", "--src", required=True, help="run directory")
     p.add_argument("--host", default="0.0.0.0")
