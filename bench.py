@@ -95,6 +95,45 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+_FETCH_WEDGED = False
+
+
+def bounded_float(x, timeout_s: float = 60.0) -> float:
+    """``float(x)`` with a hard timeout.
+
+    The tunneled dev chip has a failure mode where device EXECUTION
+    keeps working but the device->host payload path wedges (observed
+    live: an 8-float fetch hangs forever while back-to-back train steps
+    run fine).  All of this bench's timing uses block_until_ready — the
+    only value fetch is the loss sanity print — so a wedged D2H must
+    not take the whole bench (and the round's driver artifact) with it.
+    Fetch on a daemon thread; on timeout return NaN, mark the rig so
+    main() exits via os._exit (a thread stuck inside a PJRT call would
+    otherwise hang interpreter shutdown)."""
+    import threading
+
+    box = {}
+
+    def fetch():
+        try:
+            box["v"] = float(x)
+        except Exception as e:  # surfacing beats hanging
+            box["e"] = e
+
+    t = threading.Thread(target=fetch, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        global _FETCH_WEDGED
+        _FETCH_WEDGED = True
+        log(f"WARNING: device->host fetch exceeded {timeout_s}s "
+            "(tunnel D2H wedged); continuing without the value")
+        return float("nan")
+    if "e" in box:
+        raise box["e"]
+    return box["v"]
+
+
 def unet_flops_per_row(cfg) -> float:
     """Analytic forward FLOPs for ONE UNet row (one (H, W, in_ch) input),
     walking the exact topology of models/unet.py (= reference
@@ -249,7 +288,7 @@ def main():
     np.random.default_rng(1).shuffle(counts)
     view_count = jnp.asarray(counts.astype(np.int32))
     si, vi = Experiment._packed_indices(counts)  # the trainer's own layout
-    sample_idx, view_idx = jnp.asarray(si), jnp.asarray(vi)
+    sample_idx, view_idx = si, vi  # host np: closed-over device arrays force a D2H at lowering
     angle = jnp.asarray(
         rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32)
     )
@@ -291,7 +330,7 @@ def main():
     )
     jax.block_until_ready(loss)
     log(f"compile+first step: {time.perf_counter() - t0:.1f}s "
-        f"loss={float(loss):.4f}")
+        f"loss={bounded_float(loss):.4f}")
 
     # Post-compile warmup needs to be generous: the first ~10 dispatches
     # after a fresh compile run far below steady state (measured: the
@@ -394,7 +433,15 @@ def main():
         out["data_fed_raw_steps_per_sec"] = round(raw_sps, 4)
     if scaling:
         out["batch_scaling"] = scaling
+    if _FETCH_WEDGED:
+        out["d2h_wedged"] = True
     print(json.dumps(out))
+    if _FETCH_WEDGED:
+        # a daemon thread is still parked inside a PJRT fetch; normal
+        # interpreter shutdown would hang on the client destructor
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
 
 def bench_one_batch(model, cfg, tx, b, peak):
@@ -418,7 +465,7 @@ def bench_one_batch(model, cfg, tx, b, peak):
     np.random.default_rng(1).shuffle(counts)
     view_count = jnp.asarray(counts.astype(np.int32))
     si, vi = Experiment._packed_indices(counts)
-    sample_idx, view_idx = jnp.asarray(si), jnp.asarray(vi)
+    sample_idx, view_idx = si, vi  # host np: closed-over device arrays force a D2H at lowering
     angle = jnp.asarray(rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32))
     rows = int(counts.sum())
 

@@ -126,7 +126,7 @@ def fixed_eval(run_dir, eval_batch, counts, si, vi):
         params, jax.random.PRNGKey(777),
         jnp.asarray(eval_batch["cond"]), jnp.asarray(counts),
         jnp.asarray(eval_batch["angle"]), num_steps=50,
-        packed_idx=(jnp.asarray(si), jnp.asarray(vi)),
+        packed_idx=(si, vi),  # host np (lowering embeds directly)
     )
     tgt = jnp.asarray(eval_batch["target"])
     return (float(jnp.mean(compute_psnr(gen, tgt))),

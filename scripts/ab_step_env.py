@@ -83,18 +83,39 @@ def worker(windows, steps_per_window, knob):
     }))
 
 
-def spawn(knob, value, windows, steps_per_window):
+def spawn(knob, value, windows, steps_per_window, timeout=900,
+          attempts=3):
+    """One fresh-process measurement, bounded and retried.
+
+    The tunneled chip can swallow a single RPC response (observed live:
+    the worker's epoll thread waits forever on a dispatch the server
+    already dropped, while NEW client connections work fine).  An
+    unbounded worker would stall the whole A/B on that one lost packet,
+    so each attempt gets a hard timeout and a stuck worker is killed
+    and re-spawned — the compile cache makes retries cheap."""
     env = dict(os.environ)
     env[knob] = value
     cmd = [sys.executable, os.path.abspath(__file__), "--worker",
            "--knob", knob, "--windows", str(windows),
            "--steps", str(steps_per_window)]
-    p = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
-                       text=True, timeout=3600)
-    if p.returncode != 0:
+    p = None
+    for attempt in range(attempts):
+        try:
+            p = subprocess.run(cmd, cwd=REPO, env=env,
+                               capture_output=True, text=True,
+                               timeout=timeout)
+        except subprocess.TimeoutExpired:
+            print(f"  {knob}={value}: worker stuck >{timeout}s "
+                  f"(attempt {attempt + 1}/{attempts}), re-spawning",
+                  file=sys.stderr)
+            continue
+        if p.returncode == 0:
+            break
         print(p.stdout, file=sys.stderr)
         print(p.stderr[-4000:], file=sys.stderr)
-        raise RuntimeError(f"worker {knob}={value} rc={p.returncode}")
+    if p is None or p.returncode != 0:
+        raise RuntimeError(f"worker {knob}={value} failed "
+                           f"{attempts} attempts")
     rec = json.loads(p.stdout.strip().splitlines()[-1])
     print(f"  {knob}={value}: windows={rec['window_steps_per_sec']} "
           f"best={rec['best']} compile={rec['compile_s']}s",

@@ -78,7 +78,7 @@ def bench_family(name, denoise_net, dn_params, max_views, batch):
     vc = jnp.asarray(counts.astype(np.int32))
     from viewfusion_tpu.training.trainer import Experiment
     si_, vi_ = Experiment._packed_indices(counts)
-    si, vi = jnp.asarray(si_), jnp.asarray(vi_)
+    si, vi = si_, vi_  # host np (lowering embeds directly)
     angle = jnp.asarray(
         rng.uniform(0, 2 * np.pi, (batch,)).astype(np.float32)
     )

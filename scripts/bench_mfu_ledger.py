@@ -80,7 +80,7 @@ def build_train_step():
     np.random.default_rng(1).shuffle(counts)
     view_count = jnp.asarray(counts.astype(np.int32))
     si, vi = Experiment._packed_indices(counts)
-    sample_idx, view_idx = jnp.asarray(si), jnp.asarray(vi)
+    sample_idx, view_idx = si, vi  # host np: closed-over device arrays force a D2H at lowering
     angle = jnp.asarray(rng.uniform(0, 2 * np.pi, (b,)).astype(np.float32))
     key = jax.random.PRNGKey(0)
 

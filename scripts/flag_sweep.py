@@ -62,7 +62,7 @@ counts = stratified_count_multiset(b, n)
 np.random.default_rng(1).shuffle(counts)
 view_count = jnp.asarray(counts.astype(np.int32))
 si, vi = Experiment._packed_indices(counts)
-sample_idx, view_idx = jnp.asarray(si), jnp.asarray(vi)
+sample_idx, view_idx = si, vi  # host np (lowering embeds directly)
 angle = jnp.asarray(rng.uniform(0, 6.28, (b,)).astype(np.float32))
 
 key = jax.random.PRNGKey(0)

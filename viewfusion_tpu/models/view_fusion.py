@@ -383,22 +383,23 @@ class ViewFusion:
         (reference: model/view_fusion.py:86-160)."""
         sched = self.schedule
         b = y_t.shape[0]
-        noise_level = jnp.full((b,), sched.gammas[t], jnp.float32)
+        noise_level = jnp.full((b,), jnp.take(sched.gammas, t), jnp.float32)
         unet_out = self._denoise_views(params, y_cond, y_t, noise_level,
                                        angle, packed_idx=packed_idx)
         noise, logits, weights = self.compose(
             unet_out, mask, self.weighting_inference
         )
         y_0_hat = (
-            sched.sqrt_recip_gammas[t] * y_t
-            - sched.sqrt_recipm1_gammas[t] * noise
+            jnp.take(sched.sqrt_recip_gammas, t) * y_t
+            - jnp.take(sched.sqrt_recipm1_gammas, t) * noise
         )
         y_0_hat = jnp.clip(y_0_hat, -1.0, 1.0)  # model/view_fusion.py:154-155
         model_mean = (
-            sched.posterior_mean_coef1[t] * y_0_hat
-            + sched.posterior_mean_coef2[t] * y_t
+            jnp.take(sched.posterior_mean_coef1, t) * y_0_hat
+            + jnp.take(sched.posterior_mean_coef2, t) * y_t
         )
-        return model_mean, sched.posterior_log_variance_clipped[t], logits, weights
+        return (model_mean, jnp.take(sched.posterior_log_variance_clipped, t),
+                logits, weights)
 
     def p_sample(
         self,
@@ -627,8 +628,9 @@ class ViewFusion:
             y_t, key = carry
             t, t_prev = t_pair
             key, sub = jax.random.split(key)
-            gamma_t = sched.gammas[t]
-            gamma_prev = jnp.where(t_prev >= 0, sched.gammas[t_prev], 1.0)
+            gamma_t = jnp.take(sched.gammas, t)
+            gamma_prev = jnp.where(t_prev >= 0,
+                                   jnp.take(sched.gammas, t_prev), 1.0)
 
             noise_level = jnp.full((b,), gamma_t, jnp.float32)
             unet_out = self._denoise_views(
@@ -638,8 +640,8 @@ class ViewFusion:
             eps, _, _ = self.compose(unet_out, mask,
                                      self.weighting_inference)
             y0_hat = (
-                sched.sqrt_recip_gammas[t] * y_t
-                - sched.sqrt_recipm1_gammas[t] * eps
+                jnp.take(sched.sqrt_recip_gammas, t) * y_t
+                - jnp.take(sched.sqrt_recipm1_gammas, t) * eps
             )
             y0_hat = jnp.clip(y0_hat, -1.0, 1.0)
             # re-derive eps from the clipped y0 (keeps the update
@@ -733,7 +735,7 @@ class ViewFusion:
         gammas = sched.gammas
 
         def x0_pred(y, t):
-            noise_level = jnp.full((b,), gammas[t], jnp.float32)
+            noise_level = jnp.full((b,), jnp.take(gammas, t), jnp.float32)
             unet_out = self._denoise_views(
                 params, y_cond, y, noise_level, angle,
                 packed_idx=packed_idx,
@@ -741,8 +743,8 @@ class ViewFusion:
             eps, _, _ = self.compose(unet_out, mask,
                                      self.weighting_inference)
             x0 = (
-                sched.sqrt_recip_gammas[t] * y
-                - sched.sqrt_recipm1_gammas[t] * eps
+                jnp.take(sched.sqrt_recip_gammas, t) * y
+                - jnp.take(sched.sqrt_recipm1_gammas, t) * eps
             )
             return jnp.clip(x0, -1.0, 1.0)
 
@@ -754,8 +756,8 @@ class ViewFusion:
             t, t_next = t_pair
             key, sub = jax.random.split(key)
             x0 = x0_pred(y, t)
-            g_cur = gammas[t]
-            g_next = gammas[jnp.maximum(t_next, 0)]  # guarded by where
+            g_cur = jnp.take(gammas, t)
+            g_next = jnp.take(gammas, jnp.maximum(t_next, 0))  # guarded by where
             hh = lam(g_next) - lam(g_cur)
             # 2M correction: extrapolate x0 through the previous
             # evaluation; first step falls back to first order.  The

@@ -108,7 +108,15 @@ class DiffusionSchedule:
         gammas = np.cumprod(alphas, axis=0)
         gammas_prev = np.append(1.0, gammas[:-1])
         posterior_variance = betas * (1.0 - gammas_prev) / (1.0 - gammas)
-        f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)  # noqa: E731
+        # HOST-resident (numpy) constants, not jnp device arrays: the
+        # tables are closed over by every jitted loss/sampler, and MLIR
+        # lowering embeds closed-over arrays as literal constants — for
+        # a committed DEVICE array that embed is a device->host fetch
+        # per lowering (observed live as a lowering-time hang when the
+        # tunneled chip's D2H path wedged).  numpy closures embed
+        # directly, lower without a live chip (AOT-friendly), and
+        # compile to the identical HLO constant.
+        f32 = lambda a: np.asarray(a, dtype=np.float32)  # noqa: E731
         return cls(
             num_timesteps=int(betas.shape[0]),
             betas=f32(betas),
