@@ -670,16 +670,25 @@ def _dispatch(use_pallas):
             else:
                 # MEASURED default (flagship packed step, v5e, best of
                 # 3x30-step windows each).  Round 2: flax 9.00 steps/s >
-                # dot 8.60 > full Pallas kernel 8.20 — XLA fuses the
-                # forward statistics into producers, which the
+                # dot 8.60 > full Pallas kernel (v1 fwd) 8.20 — XLA
+                # fused the forward statistics into producers, which the
                 # custom-call boundary forbids.  Round 3: the HYBRID
                 # (XLA forward, keeping that fusion + the Pallas
                 # analytic BACKWARD replacing XLA's multi-pass GN
-                # gradient) measures 9.35 vs 9.04 steps/s (+3.5%, MFU
-                # 28.3% -> 29.3%) and is the TPU default.  CPU keeps
-                # flax (the Pallas bwd would run interpreted).  All
-                # variants stay selectable via VF_GN_IMPL=
-                # flax|dot|pallas|hybrid and tested.
+                # gradient) measured 9.35 vs 9.04 steps/s (+3.5%) and
+                # became the TPU default.  Round 5: the v2 forward
+                # kernel (single-read fused stats+normalize, the
+                # per-shape winner in GN_FWD_AB_r05.json) flips the
+                # order — full Pallas 9.910/9.895 steps/s vs hybrid
+                # 9.853/9.844 across interleaved fresh processes
+                # (GN_IMPL_AB_r05.json; gap 4-7x the restart spread),
+                # so full Pallas (fwd v2 + analytic bwd) is now the
+                # TPU default.  CPU keeps flax (the Pallas kernels
+                # would run interpreted).  All variants stay
+                # selectable via VF_GN_IMPL=flax|dot|pallas|hybrid
+                # and tested.
+                if jax.default_backend() == "tpu":
+                    return "pallas"
                 return hybrid(cpu_fallback="flax")
     if use_pallas and jax.default_backend() != "tpu":
         return "pallas-interpret"  # kernel-math validation on CPU
